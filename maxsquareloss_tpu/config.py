@@ -1,0 +1,176 @@
+"""Config system: dataclasses + reference-flag-compatible argparse shims.
+
+The reference's de-facto config is an argparse namespace threaded through
+every constructor (``add_train_args`` / ``add_UDA_train_args`` /
+``init_args`` — reference: tools/train_source.py + tools/solve_gta5.py,
+SURVEY.md §5.6). We keep flag-for-flag parity with the published commands
+(``--target_mode``, ``--lambda_target``, ``--IW_ratio``, ``--threshold``,
+``--multi``, ``--iter_max``, ``--poly_power``, ``--freeze_bn``,
+``--numpy_transform``, size strings like "1280,720", ...) and materialize a
+typed TrainConfig from the parsed namespace.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Any
+
+import jax.numpy as jnp
+
+TARGET_MODES = ("maxsquare", "IW_maxsquare", "entropy", "IW_entropy", "hard")
+DATASETS = ("cityscapes", "gta5", "synthia", "crosscity")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Hashable, jit-static training configuration."""
+
+    # model
+    num_classes: int = 19
+    backbone: str = "deeplabv2_multi"
+    multi: bool = True                 # multi-level (aux head layer5)
+    freeze_bn: bool = True
+    compute_dtype: str = "float32"     # 'float32' | 'bfloat16'
+    remat: str = ""                    # '' | 'stages'
+
+    # optimizer (reference defaults: SGD 2.5e-4, momentum .9, wd 5e-4)
+    lr: float = 2.5e-4
+    momentum: float = 0.9
+    weight_decay: float = 5e-4
+    iter_max: int = 200000
+    iter_stop: int | None = None
+    poly_power: float = 0.9
+
+    # supervised / source loss
+    lambda_seg: float = 0.1            # aux-head CE weight [UNVERIFIED exact
+                                       # reference default — exposed as flag]
+
+    # UDA target loss
+    target_mode: str = "IW_maxsquare"
+    lambda_target: float = 0.09
+    ratio: float = 0.2                 # --IW_ratio
+    threshold: float = 0.95            # guidance confidence threshold
+
+    # data
+    batch_size: int = 4
+    dataset: str = "gta5"
+    base_size: tuple[int, int] = (1280, 720)
+    crop_size: tuple[int, int] = (1280, 640)
+    target_base_size: tuple[int, int] = (1024, 512)
+    target_crop_size: tuple[int, int] = (1024, 512)
+    num_workers: int = 8
+    random_mirror: bool = True
+    random_crop: bool = False
+    gaussian_blur: bool = True
+    numpy_transform: bool = True
+    class_16: bool = False
+    class_13: bool = False
+
+    # runtime
+    seed: int = 0
+    checkpoint_dir: str = "./runs/default"
+    pretrained_ckpt_file: str | None = None
+    continue_training: bool = False
+    epoch_num: int = 100
+    save_inter_epoch: int = 1
+    validation_epoch: int = 1
+    show_num_images: int = 3
+    data_parallel: bool = True         # shard batch over all local devices
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+    def effective_iter_stop(self) -> int:
+        return self.iter_stop if self.iter_stop is not None else self.iter_max
+
+
+def _size(s: str | tuple) -> tuple[int, int]:
+    if isinstance(s, tuple):
+        return s
+    w, h = (int(v) for v in s.split(","))
+    return (w, h)
+
+
+def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """Shared training flags (reference: tools/train_source.py add_train_args)."""
+    p.add_argument("--dataset", default="gta5", choices=DATASETS)
+    p.add_argument("--data_root_path", default="./datasets")
+    p.add_argument("--list_path", default=None,
+                   help="split list file; defaults to <root>/<split>.txt")
+    p.add_argument("--checkpoint_dir", default="./runs/default")
+    p.add_argument("--pretrained_ckpt_file", default=None)
+    p.add_argument("--continue_training", action="store_true")
+    p.add_argument("--backbone", default="deeplabv2_multi")
+    p.add_argument("--num_classes", type=int, default=19)
+    p.add_argument("--multi", type=str2bool, default=True)
+    p.add_argument("--freeze_bn", type=str2bool, default=True)
+    p.add_argument("--lr", type=float, default=2.5e-4)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=5e-4)
+    p.add_argument("--iter_max", type=int, default=200000)
+    p.add_argument("--iter_stop", type=int, default=None)
+    p.add_argument("--poly_power", type=float, default=0.9)
+    p.add_argument("--lambda_seg", type=float, default=0.1)
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--base_size", default="1280,720")
+    p.add_argument("--crop_size", default="1280,640")
+    p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--random_mirror", type=str2bool, default=True)
+    p.add_argument("--random_crop", type=str2bool, default=False)
+    p.add_argument("--gaussian_blur", type=str2bool, default=True)
+    p.add_argument("--numpy_transform", type=str2bool, default=True)
+    p.add_argument("--class_16", type=str2bool, default=False)
+    p.add_argument("--class_13", type=str2bool, default=False)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--epoch_num", type=int, default=100)
+    p.add_argument("--validation_epoch", type=int, default=1)
+    p.add_argument("--show_num_images", type=int, default=3)
+    p.add_argument("--compute_dtype", default="float32",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--remat", default="", choices=("", "stages"))
+    p.add_argument("--data_parallel", type=str2bool, default=True)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace of the first steps")
+    return p
+
+
+def add_uda_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
+    """UDA flags (reference: tools/solve_gta5.py add_UDA_train_args)."""
+    p.add_argument("--source_dataset", default="gta5", choices=("gta5", "synthia"))
+    p.add_argument("--source_data_path", default=None)
+    p.add_argument("--source_list_path", default=None)
+    p.add_argument("--target_data_path", default=None)
+    p.add_argument("--target_list_path", default=None)
+    p.add_argument("--target_mode", default="IW_maxsquare", choices=TARGET_MODES)
+    p.add_argument("--lambda_target", type=float, default=0.09)
+    p.add_argument("--IW_ratio", type=float, default=0.2)
+    p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument("--target_base_size", default="1024,512")
+    p.add_argument("--target_crop_size", default="1024,512")
+    return p
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() in ("1", "true", "yes", "y", "t")
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    """init_args equivalent: post-process the namespace into a TrainConfig."""
+    fields = {f.name for f in dataclasses.fields(TrainConfig)}
+    kv: dict[str, Any] = {}
+    for k, v in vars(args).items():
+        if k == "IW_ratio":
+            kv["ratio"] = v
+        elif k in fields:
+            kv[k] = v
+    for k in ("base_size", "crop_size", "target_base_size", "target_crop_size"):
+        if k in kv and kv[k] is not None:
+            kv[k] = _size(kv[k])
+    cfg = TrainConfig(**kv)
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    return cfg

@@ -1,0 +1,143 @@
+"""Cityscapes dataset + the shared dataset base class.
+
+Rebuild of ``datasets/cityscapes_Dataset.py`` (SURVEY.md C1): split list
+files of ``leftImg8bit`` image paths with ``gtFine`` labelId PNGs, the
+19-class id→trainId remap (unmapped → -1 ignore), shared train/val paired
+transforms, caffe/torchvision normalization, and the ``class_16``/
+``class_13`` label filtering used by the SYNTHIA / cross-city protocols.
+
+Host-side only (PIL/numpy); batching + device prefetch live in
+``data/loader.py``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+from PIL import Image
+
+from maxsquareloss_tpu.data.transforms import (
+    IGNORE_LABEL,
+    TransformConfig,
+    img_transform,
+    mask_transform,
+    remap_lut,
+    train_sync_transform,
+    val_sync_transform,
+)
+
+# 19-class Cityscapes labelId → trainId (reference: cityscapes_Dataset.py
+# id_to_trainid, SURVEY.md C1 — verbatim protocol constant)
+CITYSCAPES_ID_TO_TRAINID = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9,
+    23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16, 32: 17, 33: 18,
+}
+
+# trainId subsets for the SYNTHIA (16) and cross-city (13) protocols:
+# classes NOT in the subset are mapped to ignore when class_16/class_13 is set.
+TRAINID_SET_16 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 15, 17, 18]
+TRAINID_SET_13 = [0, 1, 2, 6, 7, 8, 10, 11, 12, 13, 15, 17, 18]
+
+
+def _subset_filter_lut(keep: Sequence[int], relabel: bool) -> np.ndarray:
+    """LUT over trainIds (+1 shifted for the -1 ignore slot).
+
+    relabel=True compacts kept classes to 0..len(keep)-1 (13-class cross-city
+    protocol trains a 13-class head); relabel=False keeps original trainIds
+    and ignores the rest (16-class SYNTHIA eval on a 19-class head).
+    """
+    lut = np.full((20,), IGNORE_LABEL, dtype=np.int32)  # index = trainid + 1
+    for new, tid in enumerate(sorted(keep)):
+        lut[tid + 1] = new if relabel else tid
+    return lut
+
+
+class SegDataset:
+    """Shared base: list-file driven paired (image, label) dataset.
+
+    Subclasses set ``id_to_trainid`` and implement ``_pair_paths`` /
+    ``_load_mask``. List files contain one relative image path per line, or
+    an explicit "image_path label_path" pair.
+    """
+
+    id_to_trainid: dict[int, int] = CITYSCAPES_ID_TO_TRAINID
+
+    def __init__(
+        self,
+        root: str,
+        list_path: str,
+        split: str = "train",
+        transform_cfg: TransformConfig | None = None,
+        class_16: bool = False,
+        class_13: bool = False,
+        relabel_13: bool = False,
+        full_res_labels: bool = False,
+    ):
+        self.root = root
+        self.split = split
+        self.cfg = transform_cfg or TransformConfig()
+        self.training = split == "train"
+        self.full_res_labels = full_res_labels
+        self.lut = remap_lut(self.id_to_trainid, max_id=self.max_label_id())
+        self.class_filter = None
+        if class_13:
+            self.class_filter = _subset_filter_lut(TRAINID_SET_13, relabel_13)
+        elif class_16:
+            self.class_filter = _subset_filter_lut(TRAINID_SET_16, relabel=False)
+        with open(list_path) as f:
+            self.items = [ln.strip() for ln in f if ln.strip()]
+
+    def max_label_id(self) -> int:
+        return 256
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    # -- path resolution -------------------------------------------------
+
+    def _pair_paths(self, item: str) -> tuple[str, str]:
+        if " " in item:
+            img_rel, lab_rel = item.split()[:2]
+            return os.path.join(self.root, img_rel), os.path.join(self.root, lab_rel)
+        img_rel = item
+        lab_rel = img_rel.replace("leftImg8bit", "gtFine", 1).replace(
+            "_leftImg8bit.png", "_gtFine_labelIds.png"
+        )
+        return os.path.join(self.root, img_rel), os.path.join(self.root, lab_rel)
+
+    # -- raw loading -----------------------------------------------------
+
+    def _load_image(self, path: str) -> Image.Image:
+        return Image.open(path).convert("RGB")
+
+    def _load_mask(self, path: str) -> Image.Image:
+        return Image.open(path)
+
+    # -- sample assembly -------------------------------------------------
+
+    def get(self, index: int, rng: np.random.Generator):
+        """→ (image (H,W,3) float32, label (H,W) int32, item_name)."""
+        item = self.items[index]
+        img_path, lab_path = self._pair_paths(item)
+        img = self._load_image(img_path)
+        mask = self._load_mask(lab_path)
+        if self.training:
+            img, mask = train_sync_transform(img, mask, self.cfg, rng)
+        else:
+            img, mask = val_sync_transform(
+                img, mask, self.cfg, full_res_labels=self.full_res_labels
+            )
+        x = img_transform(img, self.cfg.numpy_transform)
+        y = mask_transform(mask, self.lut)
+        if self.class_filter is not None:
+            y = self.class_filter[np.clip(y + 1, 0, 19)]
+        name = os.path.splitext(os.path.basename(img_path))[0]
+        return x, y, name
+
+
+class CityscapesDataset(SegDataset):
+    """Cityscapes leftImg8bit/gtFine (labeled source-val / unlabeled UDA target)."""
+
+    id_to_trainid = CITYSCAPES_ID_TO_TRAINID

@@ -1,0 +1,146 @@
+"""Batching loader with worker threads + double-buffered device prefetch.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` + ``*_DataLoader``
+wrapper classes (reference: datasets/cityscapes_Dataset.py City_DataLoader,
+SURVEY.md C1/§3.4). Decode + augmentation run in a thread pool (PIL/numpy
+release the GIL for the heavy parts); finished batches are moved to device
+asynchronously (``jax.device_put`` onto the target sharding) so the TPU
+never waits on the host in steady state.
+
+Sample RNG is stateless per (seed, epoch, index) → bit-reproducible
+regardless of worker count or scheduling order, unlike the reference's
+worker-process ``random`` state.
+"""
+
+from __future__ import annotations
+
+import collections
+import concurrent.futures as cf
+import threading
+from typing import Iterator
+
+import jax
+import numpy as np
+
+
+class SegDataLoader:
+    """Iterates a SegDataset in shuffled batches of stacked numpy arrays.
+
+    Yields ``(images (N,H,W,3) float32, labels (N,H,W) int32, names)``.
+    ``num_iterations`` mirrors the reference wrapper's counter.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        drop_last: bool = True,
+        pad_last: bool = False,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.epoch = 0
+
+    @property
+    def num_iterations(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+        return idx
+
+    def _sample(self, index: int):
+        rng = np.random.default_rng((self.seed, self.epoch, int(index)))
+        return self.dataset.get(int(index), rng)
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, list[str]]]:
+        order = self._order()
+        n = len(order)
+        limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        order = order[:limit]
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            # keep ~2 batches of samples in flight
+            window = self.batch_size * 2 + self.num_workers
+            futures: collections.deque = collections.deque()
+            it = iter(order)
+
+            def refill():
+                while len(futures) < window:
+                    try:
+                        i = next(it)
+                    except StopIteration:
+                        return
+                    futures.append(pool.submit(self._sample, i))
+
+            refill()
+            batch: list = []
+            while futures:
+                batch.append(futures.popleft().result())
+                refill()
+                if len(batch) == self.batch_size or (not futures and batch):
+                    if len(batch) < self.batch_size and self.pad_last:
+                        batch += [batch[-1]] * (self.batch_size - len(batch))
+                    xs = np.stack([b[0] for b in batch])
+                    ys = np.stack([b[1] for b in batch])
+                    names = [b[2] for b in batch]
+                    yield xs, ys, names
+                    batch = []
+        self.epoch += 1
+
+    def __len__(self) -> int:
+        return self.num_iterations
+
+
+def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
+    """Move host batches to device ahead of compute (double buffering).
+
+    ``sharding`` is a ``jax.sharding.Sharding`` (e.g. batch-sharded
+    NamedSharding for pure DP over ICI) applied to array-typed elements;
+    non-array elements (names) pass through.
+    """
+    queue: collections.deque = collections.deque()
+    sentinel = object()
+    lock = threading.Lock()
+    it = iter(iterator)
+
+    def put(batch):
+        def to_dev(x):
+            if isinstance(x, np.ndarray):
+                return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+            return x
+        return tuple(to_dev(x) for x in batch)
+
+    def fill():
+        with lock:
+            while len(queue) < buffer_size:
+                try:
+                    queue.append(put(next(it)))
+                except StopIteration:
+                    queue.append(sentinel)
+                    return
+
+    fill()
+    while True:
+        if not queue:
+            fill()
+        item = queue.popleft()
+        if item is sentinel:
+            return
+        fill()
+        yield item

@@ -1,0 +1,69 @@
+"""SYNTHIA-RAND-CITYSCAPES dataset (SURVEY.md C3).
+
+Rebuild of ``datasets/synthia_Dataset.py``: labels are 16-bit PNGs — the
+reference reads them via ``imageio.imread(..., format='PNG-FI')[:, :, 0]``;
+we decode on host with OpenCV ``IMREAD_UNCHANGED`` (same pixel values, no
+FreeImage plugin dependency) and take channel 0. SYNTHIA ids remap to the 16
+shared Cityscapes trainIds (no terrain/truck/train).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+from maxsquareloss_tpu.data.cityscapes import SegDataset
+
+# SYNTHIA id → Cityscapes trainId (16 shared classes)
+SYNTHIA_ID_TO_TRAINID = {
+    3: 0,    # road
+    4: 1,    # sidewalk
+    2: 2,    # building
+    21: 3,   # wall
+    5: 4,    # fence
+    7: 5,    # pole
+    15: 6,   # traffic light
+    9: 7,    # traffic sign
+    6: 8,    # vegetation
+    1: 10,   # sky
+    10: 11,  # person
+    17: 12,  # rider
+    8: 13,   # car
+    19: 15,  # bus
+    12: 17,  # motorcycle
+    11: 18,  # bicycle
+}
+
+
+class SynthiaDataset(SegDataset):
+    id_to_trainid = SYNTHIA_ID_TO_TRAINID
+
+    def _pair_paths(self, item: str) -> tuple[str, str]:
+        if " " in item:
+            return super()._pair_paths(item)
+        name = os.path.basename(item)
+        return (
+            os.path.join(self.root, "RGB", name),
+            os.path.join(self.root, "GT", "LABELS", name),
+        )
+
+    def _load_mask(self, path: str):
+        try:
+            import cv2
+
+            raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+            if raw is None:
+                raise OSError(f"cv2 failed to read {path}")
+        except ImportError:  # pragma: no cover - cv2 is baked into this image
+            import imageio
+
+            raw = np.asarray(imageio.imread(path, format="PNG-FI"))
+        if raw.ndim == 3:
+            # 16-bit SYNTHIA label PNG: class id lives in channel 0 of the
+            # FreeImage read; cv2 returns BGRA order so channel -1 ≙ imageio 0.
+            raw = raw[:, :, -1] if raw.shape[2] == 4 else raw[:, :, 0]
+        # Clamp into LUT range then hand a PIL image to the shared transforms
+        # (mode I;16 → NEAREST resize keeps exact ids).
+        return Image.fromarray(raw.astype(np.int32), mode="I")

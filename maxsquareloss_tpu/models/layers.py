@@ -1,0 +1,112 @@
+"""TPU-native NN primitives for the DeepLabV2 backbone.
+
+NHWC layout throughout (TPU-native; the reference is NCHW torch). Convs lower
+to ``lax.conv_general_dilated`` → XLA:TPU MXU. Frozen BatchNorm (the
+reference trains with BN affine params frozen and running stats in eval mode,
+``affine_par``/``freeze_bn`` in graphs/models/deeplab101.py — SURVEY.md C6)
+is folded at conversion time into a constant per-channel scale/shift, so at
+trace time it is a single fused multiply-add XLA melts into the neighboring
+conv.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# NHWC activations, HWIO kernels.
+CONV_DIMS = ("NHWC", "HWIO", "NHWC")
+BN_EPS = 1e-5  # torch BatchNorm2d default
+
+
+def conv2d(
+    x: jax.Array,
+    w: jax.Array,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """2-D convolution, torch Conv2d semantics (symmetric int padding)."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=CONV_DIMS,
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def frozen_bn(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
+    """Frozen BatchNorm as folded affine: ``x * scale + bias``.
+
+    ``scale = gamma / sqrt(running_var + eps)``,
+    ``bias = beta - running_mean * scale`` — folded once at weight-conversion
+    / init time (see fold_bn / init helpers), constant thereafter.
+    """
+    return x * scale.astype(x.dtype) + bias.astype(x.dtype)
+
+
+def fold_bn(
+    gamma: np.ndarray, beta: np.ndarray, mean: np.ndarray, var: np.ndarray,
+    eps: float = BN_EPS,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fold torch BN (gamma, beta, running_mean, running_var) → (scale, bias)."""
+    scale = gamma / np.sqrt(var + eps)
+    bias = beta - mean * scale
+    return scale.astype(np.float32), bias.astype(np.float32)
+
+
+def max_pool_ceil(x: jax.Array, window: int = 3, stride: int = 2, padding: int = 1) -> jax.Array:
+    """Max pool with torch ``ceil_mode=True`` semantics.
+
+    The caffe-style DeepLabV2 stem uses ``MaxPool2d(3, 2, padding=1,
+    ceil_mode=True)`` (reference: graphs/models/deeplab101.py — SURVEY.md C6):
+    output size = ceil((H + 2p - k) / s) + 1. We emulate ceil mode by
+    right/bottom-padding with -inf so the extra partial window is included.
+    torch additionally guarantees the last window starts inside the padded
+    input, which holds for the (3,2,1) stem configuration used here.
+    """
+    h, w = x.shape[-3], x.shape[-2]
+
+    def extra(size: int) -> int:
+        out_ceil = math.ceil((size + 2 * padding - window) / stride) + 1
+        # needed so that (out_ceil - 1) * stride + window fits in padded input
+        return max(0, (out_ceil - 1) * stride + window - (size + 2 * padding))
+
+    # NOTE: the init value MUST be a python scalar — an array-typed init
+    # breaks jit linearization in jax 0.9 ("Linearization failed to produce
+    # known values for all output primals").
+    neg = -float("inf")
+    x = jnp.pad(
+        x,
+        ((0, 0), (padding, padding + extra(h)), (padding, padding + extra(w)), (0, 0)),
+        constant_values=neg,
+    )
+    return jax.lax.reduce_window(
+        x,
+        neg,
+        jax.lax.max,
+        window_dimensions=(1, window, window, 1),
+        window_strides=(1, stride, stride, 1),
+        padding="VALID",
+    )
+
+
+def kaiming_normal(key: jax.Array, shape: tuple[int, ...]) -> jax.Array:
+    """He-normal fan_out init for HWIO conv kernels (torch resnet convention)."""
+    fan_out = shape[0] * shape[1] * shape[3]
+    std = math.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype=jnp.float32) * std
+
+
+def classifier_normal(key: jax.Array, shape: tuple[int, ...], std: float = 0.01) -> jax.Array:
+    """N(0, 0.01) init used by the reference for ASPP classifier convs."""
+    return jax.random.normal(key, shape, dtype=jnp.float32) * std

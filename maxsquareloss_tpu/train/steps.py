@@ -1,0 +1,227 @@
+"""Jitted train / eval steps: the framework's hot path.
+
+Rebuild of the per-iteration bodies of the reference trainers
+(tools/train_source.py Trainer.train_one_epoch and tools/solve_gta5.py
+UDATrainer — SURVEY.md §3.1/§3.2), redesigned for XLA:
+
+- ONE fused jit per step: forward(s) + upsample + loss(es) + backward +
+  torch-SGD update. The reference runs two forwards and two backwards per
+  UDA step (source, then target) and relies on grad accumulation; gradients
+  add linearly, so a single grad of the combined loss is semantically
+  identical at fp32 (SURVEY.md §3.2 note) and lets XLA share scheduling.
+- The per-iteration poly LR is computed inside the step from the traced
+  iteration counter — no recompiles, no host round trip.
+- The IW histogram runs on device (the reference syncs to CPU per image per
+  step — SURVEY.md C10).
+- Buffers are donated: params/opt-state update in place in HBM.
+
+Data parallelism: these steps are sharding-agnostic. Under a
+``jax.sharding.Mesh`` with the batch sharded on the 'data' axis and params
+replicated (see parallel/mesh.py), XLA inserts the gradient all-reduce over
+ICI automatically — the TPU-native replacement for the reference's
+``nn.DataParallel`` (SURVEY.md C18/§5.8).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from maxsquareloss_tpu.config import TrainConfig
+from maxsquareloss_tpu.metrics import confusion_matrix_update
+from maxsquareloss_tpu.models.deeplabv2 import (
+    DeepLabV2Config,
+    apply_deeplabv2,
+    lr_mult_tree,
+)
+from maxsquareloss_tpu.ops.losses import (
+    cross_entropy,
+    entropy_loss,
+    iw_entropy_loss,
+    iw_max_square_loss,
+    max_square_loss,
+    self_produced_guidance,
+)
+from maxsquareloss_tpu.ops.resize import upsample_logits
+from maxsquareloss_tpu.optim import SGDState, init_sgd, poly_lr, sgd_update
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt: SGDState
+    iteration: jax.Array  # int32 global iteration (drives poly LR)
+
+
+def make_train_state(params: Any) -> TrainState:
+    return TrainState(
+        params=params, opt=init_sgd(params), iteration=jnp.asarray(0, jnp.int32)
+    )
+
+
+def model_config(cfg: TrainConfig) -> DeepLabV2Config:
+    return DeepLabV2Config(
+        num_classes=cfg.num_classes,
+        multi_level=cfg.multi,
+        compute_dtype=cfg.dtype,
+        remat=cfg.remat,
+    )
+
+
+def _forward_upsampled(params, frozen, x, mcfg, out_hw):
+    """Forward + align-corners upsample of both heads to label resolution."""
+    aux, main = apply_deeplabv2(params, frozen, x, mcfg)
+    main = upsample_logits(main, out_hw)
+    if aux is not None:
+        aux = upsample_logits(aux, out_hw)
+    return aux, main
+
+
+def _source_loss(params, frozen, x, y, cfg: TrainConfig, mcfg):
+    aux, main = _forward_upsampled(params, frozen, x, mcfg, y.shape[-2:])
+    loss = cross_entropy(main, y)
+    metrics = {"loss_source": loss}
+    if aux is not None:
+        loss_aux = cross_entropy(aux, y)
+        metrics["loss_source_aux"] = loss_aux
+        loss = loss + cfg.lambda_seg * loss_aux
+    return loss, metrics
+
+
+def target_loss_fn(
+    prob_main: jax.Array,
+    prob_aux: jax.Array | None,
+    cfg: TrainConfig,
+) -> tuple[jax.Array, jax.Array | None, dict[str, jax.Array]]:
+    """Mode-dispatched target loss (reference target_mode branch, §3.2).
+
+    Returns (target_loss, guidance_label_or_None, metrics). With multi-level
+    guidance the pseudo-label from the head ensemble feeds both the IW
+    histogram and the aux head's hard CE.
+    """
+    c = prob_main.shape[-1]
+    label = None
+    if prob_aux is not None:
+        label = self_produced_guidance(prob_main, prob_aux, cfg.threshold)
+    metrics: dict[str, jax.Array] = {}
+    mode = cfg.target_mode
+    if mode == "maxsquare":
+        loss = max_square_loss(prob_main)
+    elif mode == "IW_maxsquare":
+        loss = iw_max_square_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
+    elif mode == "entropy":
+        loss = entropy_loss(prob_main)
+    elif mode == "IW_entropy":
+        loss = iw_entropy_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
+    elif mode == "hard":
+        if label is None:
+            maxp = jnp.max(prob_main, axis=-1)
+            arg = jnp.argmax(prob_main, axis=-1).astype(jnp.int32)
+            label = jnp.where(maxp > cfg.threshold, arg, jnp.int32(-1))
+            label = jax.lax.stop_gradient(label)
+        # hard pseudo-label CE on log-probabilities of the main head
+        logp = jnp.log(jnp.clip(prob_main, 1e-30, 1.0))
+        valid = label != -1
+        safe = jnp.where(valid, label, 0)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        loss = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
+    else:
+        raise ValueError(f"unknown target_mode {mode!r}")
+    metrics["loss_target_raw"] = loss
+    return loss, label, metrics
+
+
+def _apply_update(state: TrainState, grads, lr_mults, cfg: TrainConfig):
+    lr = poly_lr(cfg.lr, state.iteration, cfg.iter_max, cfg.poly_power)
+    new_params, new_opt = sgd_update(
+        state.params, grads, state.opt, lr, lr_mults,
+        momentum=cfg.momentum, weight_decay=cfg.weight_decay,
+    )
+    return (
+        TrainState(new_params, new_opt, state.iteration + 1),
+        lr,
+    )
+
+
+# ------------------------------------------------------------- factory ----
+
+
+def make_supervised_train_step(cfg: TrainConfig, frozen):
+    """Source-only supervised step (reference Trainer.train_one_epoch body)."""
+    mcfg = model_config(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, x: jax.Array, y: jax.Array):
+        lr_mults = lr_mult_tree(state.params)
+
+        def loss_fn(params):
+            return _source_loss(params, frozen, x, y, cfg, mcfg)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state, lr = _apply_update(state, grads, lr_mults, cfg)
+        metrics.update({"loss": loss, "lr": lr})
+        return state, metrics
+
+    return step
+
+
+def make_uda_train_step(cfg: TrainConfig, frozen):
+    """Fused UDA step over a (source, target) batch pair.
+
+    Reference semantics (SURVEY.md §3.2): source CE backward + lambda_target
+    * target-loss backward (+ aux-head guidance CE when multi), ONE optimizer
+    step per pair — here as a single grad of the summed loss.
+    """
+    mcfg = model_config(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state: TrainState, xs: jax.Array, ys: jax.Array, xt: jax.Array):
+        lr_mults = lr_mult_tree(state.params)
+
+        def loss_fn(params):
+            src_loss, metrics = _source_loss(params, frozen, xs, ys, cfg, mcfg)
+            aux_t, main_t = _forward_upsampled(
+                params, frozen, xt, mcfg, (xt.shape[1], xt.shape[2])
+            )
+            prob_main = jax.nn.softmax(main_t, axis=-1)
+            prob_aux = jax.nn.softmax(aux_t, axis=-1) if aux_t is not None else None
+            tgt_loss, label, tmetrics = target_loss_fn(prob_main, prob_aux, cfg)
+            metrics.update(tmetrics)
+            total = src_loss + cfg.lambda_target * tgt_loss
+            if aux_t is not None and label is not None:
+                # self-produced guidance: aux head supervised with the hard
+                # ensemble pseudo-label
+                loss_aux_t = cross_entropy(aux_t, label)
+                metrics["loss_target_aux"] = loss_aux_t
+                total = total + cfg.lambda_target * cfg.lambda_seg * loss_aux_t
+            metrics["loss_target"] = cfg.lambda_target * tgt_loss
+            return total, metrics
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state, lr = _apply_update(state, grads, lr_mults, cfg)
+        metrics.update({"loss": loss, "lr": lr})
+        return state, metrics
+
+    return step
+
+
+def make_eval_step(cfg: TrainConfig, frozen, num_eval_classes: int | None = None):
+    """Validation step: forward → upsample to label size → argmax → CM partial.
+
+    Mirrors reference validate() (§3.3): main head only, align-corners
+    upsample to the label resolution, device-side confusion-matrix update.
+    """
+    mcfg = model_config(cfg)
+    n_eval = num_eval_classes or cfg.num_classes
+
+    @jax.jit
+    def step(params, x: jax.Array, y: jax.Array):
+        _, main = apply_deeplabv2(params, frozen, x, mcfg)
+        main = upsample_logits(main, y.shape[-2:])
+        argpred = jnp.argmax(main, axis=-1).astype(jnp.int32)
+        cm = confusion_matrix_update(y, argpred, n_eval)
+        return cm, argpred
+
+    return step

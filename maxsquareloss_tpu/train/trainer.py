@@ -1,0 +1,243 @@
+"""Supervised Trainer: host loop around the jitted train/eval steps.
+
+Rebuild of the reference ``Trainer`` (reference: tools/train_source.py,
+SURVEY.md C14/§3.1): owns loaders, model state, SGD over the 1x/10x groups,
+CE(ignore -1), epoch loop with per-iteration poly LR, TensorBoard scalars +
+colorized prediction images, periodic validate(), best-mIoU + latest
+checkpointing, resume.
+
+TPU-native differences: the per-iteration body is ONE donated jit; batches
+stream through double-buffered device_put sharded over the data mesh; the
+eval confusion matrix accumulates on device and syncs once per epoch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxsquareloss_tpu.config import TrainConfig
+from maxsquareloss_tpu.data.loader import device_prefetch
+from maxsquareloss_tpu.data.palette import decode_labels, inv_preprocess
+from maxsquareloss_tpu.metrics import Eval
+from maxsquareloss_tpu.models.deeplabv2 import DeepLabV2Config, init_deeplabv2
+from maxsquareloss_tpu.parallel.mesh import (
+    batch_sharding,
+    data_parallel_mesh,
+    replicate_tree,
+)
+from maxsquareloss_tpu.train import checkpoint as ckpt_lib
+from maxsquareloss_tpu.train.steps import (
+    TrainState,
+    make_eval_step,
+    make_supervised_train_step,
+    make_train_state,
+    model_config,
+)
+from maxsquareloss_tpu.utils.logging import SummaryWriter, setup_logger
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainConfig,
+        train_loader: Iterable,
+        val_loader: Iterable | None = None,
+        params: Any | None = None,
+        frozen: Any | None = None,
+        logger=None,
+        writer: SummaryWriter | None = None,
+        num_eval_classes: int | None = None,
+        synthia_protocol: bool = False,
+    ):
+        self.cfg = cfg
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.logger = logger or setup_logger(cfg.checkpoint_dir)
+        self.writer = writer or SummaryWriter(cfg.checkpoint_dir)
+        self.synthia_protocol = synthia_protocol
+        self.num_eval_classes = num_eval_classes or cfg.num_classes
+
+        if params is None or frozen is None:
+            params, frozen = init_deeplabv2(
+                jax.random.key(cfg.seed), model_config(cfg)
+            )
+        self.mesh = data_parallel_mesh() if cfg.data_parallel else None
+        if self.mesh is not None:
+            params = replicate_tree(self.mesh, params)
+            frozen = replicate_tree(self.mesh, frozen)
+        self.frozen = frozen
+        self.state: TrainState = make_train_state(params)
+        if self.mesh is not None:
+            self.state = replicate_tree(self.mesh, self.state)
+
+        self.train_step = self._make_train_step()
+        self.eval_step = make_eval_step(cfg, self.frozen, self.num_eval_classes)
+
+        self.current_epoch = 0
+        self.best_miou = 0.0
+
+    # hooks for UDATrainer -------------------------------------------------
+
+    def _make_train_step(self):
+        return make_supervised_train_step(self.cfg, self.frozen)
+
+    def _epoch_batches(self):
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        return device_prefetch(iter(self.train_loader), sharding=sharding)
+
+    def _run_step(self, batch):
+        xs, ys, _ = batch
+        return self.train_step(self.state, xs, ys)
+
+    def _batch_images(self, batch) -> int:
+        return batch[0].shape[0]
+
+    # ----------------------------------------------------------------------
+
+    def main(self):
+        if self.cfg.pretrained_ckpt_file:
+            self.load_checkpoint(self.cfg.pretrained_ckpt_file)
+        self.train()
+
+    def load_checkpoint(self, path: str):
+        """Load orbax checkpoints or reference torch .pth files."""
+        if path.endswith((".pth", ".pt")):
+            params, frozen = ckpt_lib.load_torch_pth(path, self.cfg.num_classes)
+            # heads missing (class-count mismatch) keep their fresh init —
+            # mirrors the reference's classifier re-init on class change
+            merged = jax.tree.map(lambda x: x, self.state.params)
+            for k, v in params.items():
+                merged[k] = jax.tree.map(jnp.asarray, v)
+            if self.mesh is not None:
+                merged = replicate_tree(self.mesh, merged)
+                frozen = replicate_tree(self.mesh, jax.tree.map(jnp.asarray, frozen))
+            self.frozen = frozen
+            self.state = make_train_state(merged)
+            if self.mesh is not None:
+                self.state = replicate_tree(self.mesh, self.state)
+            self.train_step = self._make_train_step()
+            self.eval_step = make_eval_step(self.cfg, self.frozen, self.num_eval_classes)
+            self.logger.info(f"loaded torch init from {path}")
+        else:
+            payload = ckpt_lib.load_checkpoint(path)
+            state, frozen, epoch, best = ckpt_lib.restore_train_state(payload)
+            if not self.cfg.continue_training:
+                # pretrained init only: fresh optimizer + iteration/poly-LR
+                # (the reference resumes epoch/iter/optimizer ONLY under
+                # --continue_training — SURVEY.md §5.4)
+                state = make_train_state(state.params)
+            if self.mesh is not None:
+                state = replicate_tree(self.mesh, state)
+                frozen = replicate_tree(self.mesh, frozen)
+            self.state, self.frozen = state, frozen
+            self.train_step = self._make_train_step()
+            self.eval_step = make_eval_step(self.cfg, self.frozen, self.num_eval_classes)
+            if self.cfg.continue_training:
+                self.current_epoch, self.best_miou = epoch, best
+            self.logger.info(
+                f"loaded checkpoint {path} (epoch {epoch}, best mIoU {best:.4f})"
+            )
+
+    def save_checkpoint(self, is_best: bool = False):
+        ckpt_lib.save_checkpoint(
+            self.cfg.checkpoint_dir,
+            self.state,
+            self.frozen,
+            self.current_epoch,
+            self.best_miou,
+            is_best=is_best,
+        )
+
+    def train(self):
+        stop_iter = self.cfg.effective_iter_stop()
+        for epoch in range(self.current_epoch, self.cfg.epoch_num):
+            self.current_epoch = epoch
+            self.train_one_epoch()
+            if int(np.asarray(self.state.iteration)) >= stop_iter:
+                self.logger.info("reached iter_stop — finishing")
+            if self.val_loader is not None and (
+                (epoch + 1) % self.cfg.validation_epoch == 0
+            ):
+                miou = self.validate()
+                is_best = miou > self.best_miou
+                self.best_miou = max(self.best_miou, miou)
+                self.save_checkpoint(is_best=is_best)
+            else:
+                self.save_checkpoint()
+            if int(np.asarray(self.state.iteration)) >= stop_iter:
+                break
+        self.writer.flush()
+
+    def train_one_epoch(self):
+        cfg = self.cfg
+        t0, imgs = time.time(), 0
+        last_metrics = {}
+        for batch in self._epoch_batches():
+            self.state, metrics = self._run_step(batch)
+            it = int(np.asarray(self.state.iteration))
+            imgs += self._batch_images(batch)
+            last_metrics = metrics
+            if it % 20 == 0:
+                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+                for k, v in m.items():
+                    self.writer.add_scalar(f"train/{k}", v, it)
+                self.logger.info(
+                    f"epoch {self.current_epoch} iter {it}: "
+                    + " ".join(f"{k}={v:.5f}" for k, v in m.items())
+                )
+            if it >= cfg.effective_iter_stop():
+                break
+        dt = time.time() - t0
+        if imgs:
+            self.writer.add_scalar(
+                "train/images_per_sec", imgs / dt, int(np.asarray(self.state.iteration))
+            )
+        return last_metrics
+
+    def validate(self) -> float:
+        """Cityscapes-style validation → mIoU (SURVEY.md §3.3)."""
+        ev = Eval(self.num_eval_classes)
+        sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        shown = 0
+        it = int(np.asarray(self.state.iteration))
+        for xs, ys, names in device_prefetch(iter(self.val_loader), sharding=sharding):
+            cm, argpred = self.eval_step(self.state.params, xs, ys)
+            ev.add_confusion_matrix(np.asarray(cm))
+            if shown < self.cfg.show_num_images:
+                pred_np = np.asarray(argpred[0])
+                self.writer.add_image(
+                    f"val/pred_{shown}", decode_labels(pred_np)[0] / 255.0, it
+                )
+                self.writer.add_image(
+                    f"val/gt_{shown}", decode_labels(np.asarray(ys[0]))[0] / 255.0, it
+                )
+                self.writer.add_image(
+                    f"val/image_{shown}",
+                    inv_preprocess(
+                        np.asarray(xs[:1]), numpy_transform=self.cfg.numpy_transform
+                    )[0],
+                    it,
+                )
+                shown += 1
+        pa = ev.Pixel_Accuracy()
+        mpa = ev.Mean_Pixel_Accuracy()
+        miou = ev.Mean_Intersection_over_Union()
+        fwiou = ev.Frequency_Weighted_Intersection_over_Union()
+        for tag, v in [("PA", pa), ("MPA", mpa), ("MIoU", miou), ("FWIoU", fwiou)]:
+            self.writer.add_scalar(f"val/{tag}", v, it)
+        msg = f"validation @ iter {it}: PA={pa:.4f} MPA={mpa:.4f} MIoU={miou:.4f} FWIoU={fwiou:.4f}"
+        if self.synthia_protocol:
+            miou16 = ev.Mean_Intersection_over_Union_16()
+            miou13 = ev.Mean_Intersection_over_Union_13()
+            self.writer.add_scalar("val/MIoU_16", miou16, it)
+            self.writer.add_scalar("val/MIoU_13", miou13, it)
+            msg += f" MIoU_16={miou16:.4f} MIoU_13={miou13:.4f}"
+            miou = miou16
+        self.logger.info(msg)
+        ev.Print_Every_class_Eval(self.logger)
+        return miou

@@ -1,0 +1,129 @@
+"""torch-CPU oracle of DeepLabV2-ResNet101 (ResNetMulti) for parity tests.
+
+Implements the architecture documented in SURVEY.md C6/C7 in plain torch:
+caffe-style ResNet-101 at output stride 8 with frozen BN and V2-style summed
+ASPP heads. The state_dict key layout matches the reference checkpoints
+(conv1/bn1/layerN.M.convK/bnK/downsample.{0,1}/layer{5,6}.conv2d_list.K) so
+the same converter that loads the reference zoo is exercised by the tests.
+"""
+
+import torch
+import torch.nn as nn
+
+AFFINE = True
+
+
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1, downsample=None):
+        super().__init__()
+        # caffe variant: stride lives on the first 1x1 conv
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, stride=stride, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes, affine=AFFINE)
+        self.conv2 = nn.Conv2d(
+            planes, planes, 3, stride=1, padding=dilation, dilation=dilation, bias=False
+        )
+        self.bn2 = nn.BatchNorm2d(planes, affine=AFFINE)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4, affine=AFFINE)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+        for bn in (self.bn1, self.bn2, self.bn3):
+            for p in bn.parameters():
+                p.requires_grad = False
+
+    def forward(self, x):
+        residual = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            residual = self.downsample(x)
+        return self.relu(out + residual)
+
+
+class ClassifierModule(nn.Module):
+    def __init__(self, inplanes, dilation_series, padding_series, num_classes):
+        super().__init__()
+        self.conv2d_list = nn.ModuleList(
+            [
+                nn.Conv2d(
+                    inplanes, num_classes, 3, stride=1,
+                    padding=p, dilation=d, bias=True,
+                )
+                for d, p in zip(dilation_series, padding_series)
+            ]
+        )
+        for m in self.conv2d_list:
+            m.weight.data.normal_(0, 0.01)
+
+    def forward(self, x):
+        out = self.conv2d_list[0](x)
+        for m in self.conv2d_list[1:]:
+            out = out + m(x)
+        return out
+
+
+class ResNetMulti(nn.Module):
+    def __init__(self, layers=(3, 4, 23, 3), num_classes=19, multi_level=True):
+        super().__init__()
+        self.multi_level = multi_level
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64, affine=AFFINE)
+        for p in self.bn1.parameters():
+            p.requires_grad = False
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1, ceil_mode=True)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], stride=2)
+        self.layer3 = self._make_layer(256, layers[2], stride=1, dilation=2)
+        self.layer4 = self._make_layer(512, layers[3], stride=1, dilation=4)
+        if multi_level:
+            self.layer5 = ClassifierModule(1024, [6, 12, 18, 24], [6, 12, 18, 24], num_classes)
+        self.layer6 = ClassifierModule(2048, [6, 12, 18, 24], [6, 12, 18, 24], num_classes)
+
+    def _make_layer(self, planes, blocks, stride=1, dilation=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes * 4 or dilation in (2, 4):
+            dbn = nn.BatchNorm2d(planes * 4, affine=AFFINE)
+            for p in dbn.parameters():
+                p.requires_grad = False
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes * 4, 1, stride=stride, bias=False),
+                dbn,
+            )
+        layers = [Bottleneck(self.inplanes, planes, stride, dilation, downsample)]
+        self.inplanes = planes * 4
+        layers += [
+            Bottleneck(self.inplanes, planes, dilation=dilation)
+            for _ in range(1, blocks)
+        ]
+        return nn.Sequential(*layers)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        x = self.layer1(x)
+        x = self.layer2(x)
+        x3 = self.layer3(x)
+        aux = self.layer5(x3) if self.multi_level else None
+        x4 = self.layer4(x3)
+        main = self.layer6(x4)
+        return aux, main
+
+
+def make_oracle(layers=(3, 4, 23, 3), num_classes=19, multi_level=True, seed=0):
+    torch.manual_seed(seed)
+    m = ResNetMulti(layers, num_classes, multi_level)
+    m.eval()  # frozen-BN reference keeps BN in eval stats mode even in training
+    # give BN stats non-trivial values so folding is actually exercised
+    g = torch.Generator().manual_seed(seed + 1)
+    for mod in m.modules():
+        if isinstance(mod, nn.BatchNorm2d):
+            mod.running_mean.uniform_(-0.5, 0.5, generator=g)
+            mod.running_var.uniform_(0.5, 1.5, generator=g)
+            if mod.affine:
+                mod.weight.data.uniform_(0.5, 1.5, generator=g)
+                mod.bias.data.uniform_(-0.5, 0.5, generator=g)
+    return m

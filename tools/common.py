@@ -1,0 +1,92 @@
+"""Shared loader/trainer assembly for the CLI tools.
+
+Mirrors the reference's ``datasets_path`` dict + loader construction in
+tools/solve_gta5.py (SURVEY.md C15/§5.6): per-dataset roots and split list
+paths, overridable from the command line.
+"""
+
+from __future__ import annotations
+
+import os
+
+from maxsquareloss_tpu.config import TrainConfig
+from maxsquareloss_tpu.data import (
+    CityscapesDataset,
+    CrossCityDataset,
+    GTA5Dataset,
+    SegDataLoader,
+    SynthiaDataset,
+    TransformConfig,
+)
+
+DATASET_CLS = {
+    "cityscapes": CityscapesDataset,
+    "gta5": GTA5Dataset,
+    "synthia": SynthiaDataset,
+    "crosscity": CrossCityDataset,
+}
+
+
+def default_paths(data_root: str) -> dict:
+    """Default per-dataset roots/list files under a shared datasets root."""
+    return {
+        "cityscapes": {
+            "root": os.path.join(data_root, "Cityscapes"),
+            "train": os.path.join(data_root, "Cityscapes", "train.txt"),
+            "val": os.path.join(data_root, "Cityscapes", "val.txt"),
+        },
+        "gta5": {
+            "root": os.path.join(data_root, "GTA5"),
+            "train": os.path.join(data_root, "GTA5", "train.txt"),
+            "val": os.path.join(data_root, "GTA5", "val.txt"),
+        },
+        "synthia": {
+            "root": os.path.join(data_root, "SYNTHIA"),
+            "train": os.path.join(data_root, "SYNTHIA", "train.txt"),
+            "val": os.path.join(data_root, "SYNTHIA", "val.txt"),
+        },
+        "crosscity": {
+            "root": os.path.join(data_root, "NTHU"),
+            "train": os.path.join(data_root, "NTHU", "train.txt"),
+            "val": os.path.join(data_root, "NTHU", "val.txt"),
+        },
+    }
+
+
+def transform_cfg(cfg: TrainConfig, target: bool = False) -> TransformConfig:
+    return TransformConfig(
+        base_size=cfg.target_base_size if target else cfg.base_size,
+        crop_size=cfg.target_crop_size if target else cfg.crop_size,
+        random_mirror=cfg.random_mirror,
+        random_crop=cfg.random_crop,
+        gaussian_blur=cfg.gaussian_blur,
+        numpy_transform=cfg.numpy_transform,
+    )
+
+
+def make_loader(
+    cfg: TrainConfig,
+    dataset_name: str,
+    root: str,
+    list_path: str,
+    split: str,
+    target: bool = False,
+    **dataset_kw,
+) -> SegDataLoader:
+    cls = DATASET_CLS[dataset_name]
+    ds = cls(
+        root,
+        list_path,
+        split=split,
+        transform_cfg=transform_cfg(cfg, target=target),
+        **dataset_kw,
+    )
+    return SegDataLoader(
+        ds,
+        batch_size=cfg.batch_size,
+        shuffle=split == "train",
+        num_workers=cfg.num_workers,
+        seed=cfg.seed,
+        drop_last=split == "train",
+        pad_last=split != "train",
+    )

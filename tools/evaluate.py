@@ -1,0 +1,76 @@
+"""Evaluation entrypoint: single/multi-scale (+flip) val mIoU.
+
+Covers the reference's in-training validate() as a standalone tool plus the
+multi-scale inference protocol used for the published numbers
+(SURVEY.md §3.3)::
+
+    python tools/evaluate.py --dataset cityscapes \
+        --pretrained_ckpt_file ./runs/gta5_iw_maxsquare/checkpoint_best \
+        --scales 0.75,1.0,1.25 --flip true
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+from maxsquareloss_tpu.config import add_train_args, config_from_args, str2bool
+from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+from maxsquareloss_tpu.parallel.mesh import data_parallel_mesh, replicate_tree
+from maxsquareloss_tpu.train import checkpoint as ckpt_lib
+from maxsquareloss_tpu.train.evaluator import evaluate
+from maxsquareloss_tpu.train.steps import model_config
+from maxsquareloss_tpu.utils.logging import setup_logger
+from tools.common import default_paths, make_loader
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("evaluate")
+    add_train_args(parser)
+    parser.add_argument("--scales", default="1.0", help="comma list, e.g. 0.75,1.0,1.25")
+    parser.add_argument("--flip", type=str2bool, default=False)
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    logger = setup_logger(cfg.checkpoint_dir, "evaluate")
+
+    if not cfg.pretrained_ckpt_file:
+        parser.error("--pretrained_ckpt_file is required")
+    if cfg.pretrained_ckpt_file.endswith((".pth", ".pt")):
+        params, frozen = ckpt_lib.load_torch_pth(
+            cfg.pretrained_ckpt_file, cfg.num_classes
+        )
+        init_p, _ = init_deeplabv2(jax.random.key(0), model_config(cfg))
+        for k, v in init_p.items():
+            params.setdefault(k, v)
+    else:
+        payload = ckpt_lib.load_checkpoint(cfg.pretrained_ckpt_file)
+        state, frozen, _, _ = ckpt_lib.restore_train_state(payload)
+        params = state.params
+
+    mesh = data_parallel_mesh() if cfg.data_parallel else None
+    if mesh is not None:
+        params = replicate_tree(mesh, params)
+        frozen = replicate_tree(mesh, frozen)
+
+    paths = default_paths(args.data_root_path)[cfg.dataset]
+    loader = make_loader(
+        cfg, cfg.dataset, paths["root"], args.list_path or paths["val"], "val",
+        class_16=cfg.class_16, class_13=cfg.class_13,
+    )
+    scales = tuple(float(s) for s in args.scales.split(","))
+    out = evaluate(
+        params, frozen, cfg, loader,
+        scales=scales, flip=args.flip,
+        synthia_protocol=cfg.class_16, mesh=mesh, logger=logger,
+    )
+    del out["_eval"]
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
