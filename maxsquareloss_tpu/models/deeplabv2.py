@@ -61,10 +61,13 @@ class DeepLabV2Config:
 # ---------------------------------------------------------------- init ----
 
 
-def _init_bn(ch: int) -> Params:
-    # Random-init equivalent of folded frozen BN: gamma=1, beta=0, mean=0,
-    # var=1 → scale 1, bias 0. Real runs overwrite via checkpoint conversion.
-    return {"scale": jnp.ones((ch,), jnp.float32), "bias": jnp.zeros((ch,), jnp.float32)}
+def _init_bn(ch: int, scale: float = 1.0) -> Params:
+    # Random-init equivalent of folded frozen BN: gamma=scale, beta=0,
+    # mean=0, var=1. Real runs overwrite via checkpoint conversion.
+    return {
+        "scale": jnp.full((ch,), scale, jnp.float32),
+        "bias": jnp.zeros((ch,), jnp.float32),
+    }
 
 
 def _init_bottleneck(key, in_ch: int, planes: int, downsample: bool) -> tuple[Params, Params]:
@@ -75,7 +78,10 @@ def _init_bottleneck(key, in_ch: int, planes: int, downsample: bool) -> tuple[Pa
         "conv2": {"w": kaiming_normal(ks[1], (3, 3, planes, planes))},
         "conv3": {"w": kaiming_normal(ks[2], (1, 1, planes, out_ch))},
     }
-    f = {"bn1": _init_bn(planes), "bn2": _init_bn(planes), "bn3": _init_bn(out_ch)}
+    # bn3 scale 0.1 at random init: with identity frozen BN the residual
+    # variance would double per block (2^33 blowup in ResNet-101); real runs
+    # replace these with converted running stats anyway.
+    f = {"bn1": _init_bn(planes), "bn2": _init_bn(planes), "bn3": _init_bn(out_ch, 0.1)}
     if downsample:
         p["downsample"] = {"w": kaiming_normal(ks[3], (1, 1, in_ch, out_ch))}
         f["bn_down"] = _init_bn(out_ch)
