@@ -30,6 +30,7 @@ class TrainConfig:
     # model
     num_classes: int = 19
     backbone: str = "deeplabv2_multi"
+    blocks: tuple[int, ...] = (3, 4, 23, 3)  # ResNet-101; tests shrink this
     multi: bool = True                 # multi-level (aux head layer5)
     freeze_bn: bool = True
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16'

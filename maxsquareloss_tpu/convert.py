@@ -63,9 +63,20 @@ def _classifier_from(sd: Mapping[str, Array], layer: str) -> dict[str, Any] | No
     return {"convs": convs}
 
 
+def infer_blocks(sd: Mapping[str, Any]) -> tuple[int, ...]:
+    """Infer per-stage block counts from state_dict keys (layerL.B.conv1...)."""
+    counts = []
+    for li in range(1, 5):
+        n = 0
+        while f"layer{li}.{n}.conv1.weight" in sd:
+            n += 1
+        counts.append(n)
+    return tuple(counts)
+
+
 def torch_state_dict_to_pytrees(
     sd: Mapping[str, Any],
-    blocks: tuple[int, ...] = (3, 4, 23, 3),
+    blocks: tuple[int, ...] | None = None,
     num_classes: int | None = None,
 ) -> tuple[dict, dict]:
     """Convert a (numpy-valued) torch DeepLabV2 state_dict to (params, frozen).
@@ -75,6 +86,9 @@ def torch_state_dict_to_pytrees(
     class count, e.g. the 13-class cross-city protocol — SURVEY.md §3.1).
     """
     sd = strip_module_prefix({k: np.asarray(v) for k, v in sd.items()})
+    if blocks is None:
+        blocks = infer_blocks(sd)
+        assert all(n > 0 for n in blocks), f"could not infer blocks: {blocks}"
     params: dict[str, Any] = {
         "conv1": {"w": _oihw_to_hwio(np.asarray(sd["conv1.weight"], np.float32))}
     }

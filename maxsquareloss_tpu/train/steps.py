@@ -65,6 +65,7 @@ def model_config(cfg: TrainConfig) -> DeepLabV2Config:
     return DeepLabV2Config(
         num_classes=cfg.num_classes,
         multi_level=cfg.multi,
+        blocks=tuple(cfg.blocks),
         compute_dtype=cfg.dtype,
         remat=cfg.remat,
     )

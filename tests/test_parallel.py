@@ -1,0 +1,85 @@
+"""Distributed-without-cluster: data-parallel equivalence on a virtual mesh.
+
+SURVEY.md §4: n-device DP (batch sharded, params replicated, XLA-inserted
+gradient all-reduce) must equal the 1-device big-batch step at fp32.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maxsquareloss_tpu.config import TrainConfig
+from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+from maxsquareloss_tpu.parallel.mesh import (
+    batch_sharding,
+    data_parallel_mesh,
+    replicate_tree,
+)
+from maxsquareloss_tpu.train.steps import (
+    make_supervised_train_step,
+    make_train_state,
+    make_uda_train_step,
+    model_config,
+)
+
+SMALL = (1, 1, 2, 1)
+
+
+def _cfg(**kw):
+    kw.setdefault("blocks", SMALL)
+    kw.setdefault("data_parallel", False)
+    return TrainConfig(**kw)
+
+
+def test_eight_device_mesh_available():
+    assert jax.device_count() >= 8
+
+
+def test_dp_step_equals_single_device_step(rng):
+    cfg = _cfg()
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    x = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(-1, 19, (8, 32, 32)).astype(np.int32)
+
+    # 8-device state built FIRST: the train step donates its state arg, so
+    # params buffers must be copied before the single-device run consumes them
+    mesh = data_parallel_mesh()
+    frozen_r = replicate_tree(mesh, frozen)
+    params_r = replicate_tree(mesh, params)
+
+    # single-device big batch — deep-copy params: replication above aliases
+    # the originals as device-0 shards and step1 donates its state
+    step1 = make_supervised_train_step(cfg, frozen)
+    s1 = make_train_state(jax.tree.map(jnp.array, params))
+    s1, m1 = step1(s1, jnp.asarray(x), jnp.asarray(y))
+    step8 = make_supervised_train_step(cfg, frozen_r)
+    s8 = replicate_tree(mesh, make_train_state(params_r))
+    bs = batch_sharding(mesh)
+    s8, m8 = step8(s8, jax.device_put(x, bs), jax.device_put(y, bs))
+
+    assert float(np.asarray(m1["loss"])) == pytest.approx(
+        float(np.asarray(m8["loss"])), rel=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_uda_dp_step_runs_sharded(rng):
+    cfg = _cfg(target_mode="IW_maxsquare")
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    mesh = data_parallel_mesh()
+    frozen = replicate_tree(mesh, frozen)
+    params = replicate_tree(mesh, params)
+    step = make_uda_train_step(cfg, frozen)
+    state = replicate_tree(mesh, make_train_state(params))
+    bs = batch_sharding(mesh)
+    xs = jax.device_put(rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32), bs)
+    ys = jax.device_put(rng.integers(-1, 19, (8, 32, 32)).astype(np.int32), bs)
+    xt = jax.device_put(rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32), bs)
+    state, metrics = step(state, xs, ys, xt)
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+    # updated params remain replicated (fully addressable on every device)
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated
+

@@ -1,0 +1,129 @@
+"""Integration tests: jitted train steps vs the torch training oracle.
+
+SURVEY.md §4 "integration" row: multi-step train-loss trajectories on fixed
+synthetic batches must match the reference-semantics torch loop (model fwd +
+align-corners upsample + CE(ignore -1) + two-group poly-LR SGD) end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maxsquareloss_tpu.config import TrainConfig
+from maxsquareloss_tpu.convert import torch_state_dict_to_pytrees
+from maxsquareloss_tpu.metrics import Eval
+from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+from maxsquareloss_tpu.train.steps import (
+    make_eval_step,
+    make_supervised_train_step,
+    make_train_state,
+    make_uda_train_step,
+    model_config,
+)
+from tests.torch_oracle import make_oracle, train_oracle_supervised
+
+SMALL = (1, 1, 2, 1)
+
+
+def _small_cfg(**kw):
+    kw.setdefault("blocks", SMALL)
+    kw.setdefault("multi", True)
+    kw.setdefault("num_classes", 19)
+    kw.setdefault("iter_max", 100)
+    kw.setdefault("data_parallel", False)
+    return TrainConfig(**kw)
+
+
+@pytest.fixture
+def batches(rng):
+    return [
+        (
+            rng.normal(0, 1, size=(2, 32, 64, 3)).astype(np.float32),
+            rng.integers(-1, 19, size=(2, 32, 64)).astype(np.int32),
+        )
+        for _ in range(10)
+    ]
+
+
+def test_supervised_trajectory_matches_torch(batches):
+    """10-step loss trajectory parity (SURVEY.md §7 step 3 gate)."""
+    model = make_oracle(layers=SMALL)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params, frozen = torch_state_dict_to_pytrees(sd, blocks=SMALL)
+    cfg = _small_cfg()
+    step = make_supervised_train_step(cfg, frozen)
+    state = make_train_state(jax.tree.map(jnp.asarray, params))
+    jax_losses = []
+    for x, y in batches:
+        state, metrics = step(state, jnp.asarray(x), jnp.asarray(y))
+        jax_losses.append(float(np.asarray(metrics["loss"])))
+
+    torch_losses = train_oracle_supervised(
+        model, batches, base_lr=cfg.lr, max_iter=cfg.iter_max,
+        power=cfg.poly_power, momentum=cfg.momentum, wd=cfg.weight_decay,
+        lambda_seg=cfg.lambda_seg,
+    )
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)
+    # losses should actually move (training is happening)
+    assert abs(jax_losses[0] - jax_losses[-1]) > 1e-4
+
+
+@pytest.mark.parametrize(
+    "mode", ["maxsquare", "IW_maxsquare", "entropy", "IW_entropy", "hard"]
+)
+def test_uda_step_all_target_modes(rng, mode):
+    cfg = _small_cfg(target_mode=mode, threshold=0.5)
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    step = make_uda_train_step(cfg, frozen)
+    state = make_train_state(params)
+    xs = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    ys = jnp.asarray(rng.integers(-1, 19, (2, 32, 64)).astype(np.int32))
+    xt = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    p_before = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+    state, metrics = step(state, xs, ys, xt)
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+    assert np.isfinite(float(np.asarray(metrics["loss_target_raw"])))
+    assert "loss_target_aux" in metrics  # multi-level guidance path taken
+    p_after = np.asarray(jax.tree.leaves(state.params)[0])
+    assert not np.array_equal(p_before, p_after)
+    assert int(np.asarray(state.iteration)) == 1
+
+
+def test_uda_single_level_no_aux(rng):
+    cfg = _small_cfg(multi=False, target_mode="maxsquare")
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    step = make_uda_train_step(cfg, frozen)
+    state = make_train_state(params)
+    xs = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    ys = jnp.asarray(rng.integers(-1, 19, (1, 32, 32)).astype(np.int32))
+    xt = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    state, metrics = step(state, xs, ys, xt)
+    assert "loss_target_aux" not in metrics
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+
+
+def test_eval_step_confusion_matrix(rng):
+    cfg = _small_cfg()
+    params, frozen = init_deeplabv2(jax.random.key(1), model_config(cfg))
+    step = make_eval_step(cfg, frozen)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(-1, 19, (2, 32, 64)).astype(np.int32))
+    cm, argpred = step(params, x, y)
+    assert argpred.shape == (2, 32, 64)
+    ev = Eval(19)
+    ev.add_batch(np.asarray(y), np.asarray(argpred))
+    np.testing.assert_array_equal(np.asarray(cm), ev.confusion_matrix)
+
+
+def test_bfloat16_step_runs(rng):
+    cfg = _small_cfg(compute_dtype="bfloat16")
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    step = make_supervised_train_step(cfg, frozen)
+    state = make_train_state(params)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(-1, 19, (1, 32, 32)).astype(np.int32))
+    state, metrics = step(state, x, y)
+    assert np.isfinite(float(np.asarray(metrics["loss"])))
+    # params/update stay fp32 even with bf16 compute
+    assert jax.tree.leaves(state.params)[0].dtype == jnp.float32

@@ -127,3 +127,40 @@ def make_oracle(layers=(3, 4, 23, 3), num_classes=19, multi_level=True, seed=0):
                 mod.weight.data.uniform_(0.5, 1.5, generator=g)
                 mod.bias.data.uniform_(-0.5, 0.5, generator=g)
     return m
+
+
+def train_oracle_supervised(model, batches, base_lr=2.5e-4, max_iter=100, power=0.9,
+                            momentum=0.9, wd=5e-4, lambda_seg=0.1):
+    """Reference-semantics torch training loop: CE(ignore -1) on upsampled
+    logits (align_corners=True), two param groups (backbone 1x, heads 10x),
+    per-iter poly LR, SGD(momentum, wd). Returns per-step losses."""
+    import torch.nn.functional as F
+
+    backbone, heads = [], []
+    for name, p in model.named_parameters():
+        if not p.requires_grad:
+            continue
+        (heads if name.startswith(("layer5", "layer6")) else backbone).append(p)
+    opt = torch.optim.SGD(
+        [{"params": backbone, "lr": base_lr}, {"params": heads, "lr": base_lr * 10}],
+        lr=base_lr, momentum=momentum, weight_decay=wd,
+    )
+    losses = []
+    for it, (x, y) in enumerate(batches):
+        lr = base_lr * (1 - it / max_iter) ** power
+        opt.param_groups[0]["lr"] = lr
+        opt.param_groups[1]["lr"] = lr * 10
+        xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+        yt = torch.from_numpy(y).long()
+        aux, main = model(xt)
+        size = yt.shape[-2:]
+        main = F.interpolate(main, size=size, mode="bilinear", align_corners=True)
+        loss = F.cross_entropy(main, yt, ignore_index=-1)
+        if aux is not None:
+            aux = F.interpolate(aux, size=size, mode="bilinear", align_corners=True)
+            loss = loss + lambda_seg * F.cross_entropy(aux, yt, ignore_index=-1)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses
