@@ -45,6 +45,8 @@ def main():
     # no-remat is fastest at the default global batch 8 on v5e (16G HBM);
     # batch 16 does not fit even with stage remat.
     p.add_argument("--remat", default="", choices=("", "stages"))
+    p.add_argument("--s2b", action="store_true",
+                   help="space-to-batch dilated convs")
     args = p.parse_args()
 
     import jax
@@ -67,6 +69,7 @@ def main():
         target_mode="IW_maxsquare",
         compute_dtype=args.dtype,
         remat=args.remat,
+        space_to_batch=args.s2b,
         batch_size=args.batch,
         data_parallel=n_chips > 1,
     )

@@ -35,6 +35,7 @@ class TrainConfig:
     freeze_bn: bool = True
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16'
     remat: str = ""                    # '' | 'stages'
+    space_to_batch: bool = False       # dilated convs as dense parity-subgrid convs
 
     # optimizer (reference defaults: SGD 2.5e-4, momentum .9, wd 5e-4)
     lr: float = 2.5e-4

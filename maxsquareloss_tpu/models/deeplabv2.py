@@ -56,6 +56,8 @@ class DeepLabV2Config:
     # remat ('') | 'stages': checkpoint each ResNet stage to trade FLOPs for
     # HBM at 1024x512 / OS=8 activation sizes (SURVEY.md §5.7).
     remat: str = ""
+    # rewrite dilated convs as dense convs over parity subgrids (exact)
+    space_to_batch: bool = False
 
 
 # ---------------------------------------------------------------- init ----
@@ -132,11 +134,13 @@ def init_deeplabv2(key: jax.Array, cfg: DeepLabV2Config) -> tuple[Params, Params
 # --------------------------------------------------------------- apply ----
 
 
-def _bottleneck(p: Params, f: Params, x: jax.Array, stride: int, dilation: int) -> jax.Array:
+def _bottleneck(
+    p: Params, f: Params, x: jax.Array, stride: int, dilation: int, s2b: bool = False
+) -> jax.Array:
     residual = x
     y = conv2d(x, p["conv1"]["w"], stride=stride)
     y = jax.nn.relu(frozen_bn(y, **f["bn1"]))
-    y = conv2d(y, p["conv2"]["w"], padding=dilation, dilation=dilation)
+    y = conv2d(y, p["conv2"]["w"], padding=dilation, dilation=dilation, space_to_batch=s2b)
     y = jax.nn.relu(frozen_bn(y, **f["bn2"]))
     y = conv2d(y, p["conv3"]["w"])
     y = frozen_bn(y, **f["bn3"])
@@ -145,17 +149,19 @@ def _bottleneck(p: Params, f: Params, x: jax.Array, stride: int, dilation: int) 
     return jax.nn.relu(y + residual)
 
 
-def _stage(ps: list, fs: list, x: jax.Array, stride: int, dilation: int) -> jax.Array:
+def _stage(
+    ps: list, fs: list, x: jax.Array, stride: int, dilation: int, s2b: bool = False
+) -> jax.Array:
     for bi, (p, f) in enumerate(zip(ps, fs)):
-        x = _bottleneck(p, f, x, stride if bi == 0 else 1, dilation)
+        x = _bottleneck(p, f, x, stride if bi == 0 else 1, dilation, s2b)
     return x
 
 
-def _classifier(p: Params, x: jax.Array) -> jax.Array:
+def _classifier(p: Params, x: jax.Array, s2b: bool = False) -> jax.Array:
     # V2-style ASPP: 4 parallel dilated 3x3 convs, summed.
     out = None
     for conv, d in zip(p["convs"], ASPP_DILATIONS):
-        y = conv2d(x, conv["w"], padding=d, dilation=d, bias=conv["b"])
+        y = conv2d(x, conv["w"], padding=d, dilation=d, bias=conv["b"], space_to_batch=s2b)
         out = y if out is None else out + y
     return out
 
@@ -188,6 +194,7 @@ def apply_deeplabv2(
                 y,
                 LAYER_STRIDES[li],
                 LAYER_DILATIONS[li],
+                cfg.space_to_batch,
             )
 
         return jax.checkpoint(run) if cfg.remat == "stages" else run
@@ -195,9 +202,9 @@ def apply_deeplabv2(
     y = stage_fn(0)(y)
     y = stage_fn(1)(y)
     y3 = stage_fn(2)(y)
-    aux = _classifier(params["layer5"], y3) if cfg.multi_level else None
+    aux = _classifier(params["layer5"], y3, cfg.space_to_batch) if cfg.multi_level else None
     y4 = stage_fn(3)(y3)
-    main = _classifier(params["layer6"], y4)
+    main = _classifier(params["layer6"], y4, cfg.space_to_batch)
     if aux is not None:
         aux = aux.astype(jnp.float32)
     return aux, main.astype(jnp.float32)

@@ -68,6 +68,7 @@ def model_config(cfg: TrainConfig) -> DeepLabV2Config:
         blocks=tuple(cfg.blocks),
         compute_dtype=cfg.dtype,
         remat=cfg.remat,
+        space_to_batch=cfg.space_to_batch,
     )
 
 
@@ -123,10 +124,11 @@ def target_loss_fn(
             label = jnp.where(maxp > cfg.threshold, arg, jnp.int32(-1))
             label = jax.lax.stop_gradient(label)
         # hard pseudo-label CE on log-probabilities of the main head
+        # (one-hot contraction, not take_along_axis — gathers are slow on TPU)
         logp = jnp.log(jnp.clip(prob_main, 1e-30, 1.0))
         valid = label != -1
-        safe = jnp.where(valid, label, 0)
-        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        oh = jax.nn.one_hot(label, c, dtype=logp.dtype)
+        nll = -jnp.sum(logp * oh, axis=-1)
         loss = jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(jnp.sum(valid), 1)
     else:
         raise ValueError(f"unknown target_mode {mode!r}")
