@@ -47,6 +47,8 @@ def main():
     p.add_argument("--remat", default="", choices=("", "stages"))
     p.add_argument("--s2b", action="store_true",
                    help="space-to-batch dilated convs")
+    p.add_argument("--pallas", action="store_true",
+                   help="fused Pallas kernels for the target loss")
     args = p.parse_args()
 
     import jax
@@ -70,6 +72,7 @@ def main():
         compute_dtype=args.dtype,
         remat=args.remat,
         space_to_batch=args.s2b,
+        use_pallas=args.pallas,
         batch_size=args.batch,
         data_parallel=n_chips > 1,
     )

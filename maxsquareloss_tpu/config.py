@@ -36,6 +36,7 @@ class TrainConfig:
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16'
     remat: str = ""                    # '' | 'stages'
     space_to_batch: bool = False       # dilated convs as dense parity-subgrid convs
+    use_pallas: bool = False           # fused Pallas kernels for max-square losses
 
     # optimizer (reference defaults: SGD 2.5e-4, momentum .9, wd 5e-4)
     lr: float = 2.5e-4

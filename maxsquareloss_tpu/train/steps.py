@@ -96,12 +96,17 @@ def target_loss_fn(
     prob_main: jax.Array,
     prob_aux: jax.Array | None,
     cfg: TrainConfig,
+    logits_main: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array | None, dict[str, jax.Array]]:
     """Mode-dispatched target loss (reference target_mode branch, §3.2).
 
     Returns (target_loss, guidance_label_or_None, metrics). With multi-level
     guidance the pseudo-label from the head ensemble feeds both the IW
     histogram and the aux head's hard CE.
+
+    When ``cfg.use_pallas`` and ``logits_main`` is given, the max-square
+    modes run the fused Pallas kernels (softmax+square+IW-weighting+reduce
+    in one VMEM-resident pass — pallas/fused_loss.py).
     """
     c = prob_main.shape[-1]
     label = None
@@ -109,10 +114,33 @@ def target_loss_fn(
         label = self_produced_guidance(prob_main, prob_aux, cfg.threshold)
     metrics: dict[str, jax.Array] = {}
     mode = cfg.target_mode
+    pallas_ok = cfg.use_pallas and logits_main is not None
     if mode == "maxsquare":
-        loss = max_square_loss(prob_main)
+        if pallas_ok:
+            from maxsquareloss_tpu.pallas.fused_loss import fused_max_square_loss
+
+            loss = fused_max_square_loss(logits_main)
+        else:
+            loss = max_square_loss(prob_main)
     elif mode == "IW_maxsquare":
-        loss = iw_max_square_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
+        if pallas_ok:
+            from maxsquareloss_tpu.ops.histogram import (
+                class_histogram,
+                iw_class_weights,
+            )
+            from maxsquareloss_tpu.pallas.fused_loss import (
+                fused_iw_max_square_loss,
+            )
+
+            count_label = (
+                label
+                if label is not None
+                else jnp.argmax(prob_main, axis=-1).astype(jnp.int32)
+            )
+            w = iw_class_weights(class_histogram(count_label, c), cfg.ratio)
+            loss = fused_iw_max_square_loss(logits_main, w)
+        else:
+            loss = iw_max_square_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
     elif mode == "entropy":
         loss = entropy_loss(prob_main)
     elif mode == "IW_entropy":
@@ -190,7 +218,9 @@ def make_uda_train_step(cfg: TrainConfig, frozen):
             )
             prob_main = jax.nn.softmax(main_t, axis=-1)
             prob_aux = jax.nn.softmax(aux_t, axis=-1) if aux_t is not None else None
-            tgt_loss, label, tmetrics = target_loss_fn(prob_main, prob_aux, cfg)
+            tgt_loss, label, tmetrics = target_loss_fn(
+                prob_main, prob_aux, cfg, logits_main=main_t
+            )
             metrics.update(tmetrics)
             total = src_loss + cfg.lambda_target * tgt_loss
             if aux_t is not None and label is not None:
