@@ -81,6 +81,8 @@ class TrainConfig:
     validation_epoch: int = 1
     show_num_images: int = 3
     data_parallel: bool = True         # shard batch over all local devices
+    profile: bool = False              # capture a jax.profiler trace of steps 2-5
+    debug_nans: bool = False           # jax_debug_nans sanitizer mode
 
     @property
     def dtype(self):
@@ -137,6 +139,8 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=str2bool, default=True)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first steps")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (sanitizer mode)")
     return p
 
 

@@ -1,0 +1,76 @@
+"""Multi-host data parallelism over DCN (SURVEY.md §5.8 rebuild plan).
+
+The reference is strictly single-process (nn.DataParallel). The TPU-native
+scale-out path: ``jax.distributed.initialize()`` per host, then a 2-D mesh
+``(dcn, ici)`` where the inner axis rides ICI within a slice and the outer
+axis crosses hosts over DCN. Training stays pure data-parallel: the global
+batch is sharded over BOTH axes (flattened 'data' view), params replicated;
+XLA hierarchically reduces gradients (ICI first, then DCN).
+
+On a single host this degenerates to the 1-D mesh from parallel.mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DCN_AXIS = "dcn"
+ICI_AXIS = "ici"
+
+
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+):
+    """Initialize the multi-host runtime (no-op for single-process runs).
+
+    On TPU pods the arguments are auto-detected from the environment; on
+    CPU/GPU test rigs pass them explicitly.
+    """
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def hierarchical_dp_mesh(ici_size: int | None = None) -> Mesh:
+    """(dcn, ici) mesh over all global devices.
+
+    ``ici_size`` defaults to the local device count (devices per host /
+    slice); the dcn axis spans process groups.
+    """
+    devices = jax.devices()
+    if ici_size is None:
+        ici_size = jax.local_device_count()
+    assert len(devices) % ici_size == 0, (
+        f"{len(devices)} devices not divisible by ici_size={ici_size}"
+    )
+    arr = np.asarray(devices).reshape(len(devices) // ici_size, ici_size)
+    return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+
+
+def hierarchical_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Global batch sharded over both axes (hierarchical data parallelism)."""
+    return NamedSharding(mesh, P((DCN_AXIS, ICI_AXIS)))
+
+
+def hierarchical_replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def process_local_batch_slice(global_batch: int) -> tuple[int, int]:
+    """(start, size) of this host's slice of the global batch.
+
+    The data loader on each host reads only its shard (per-host sharded file
+    lists — SURVEY.md §7 step 6).
+    """
+    n = jax.process_count()
+    i = jax.process_index()
+    assert global_batch % n == 0, f"batch {global_batch} not divisible by {n} hosts"
+    per = global_batch // n
+    return i * per, per

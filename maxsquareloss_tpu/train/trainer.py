@@ -55,6 +55,10 @@ class Trainer:
         synthia_protocol: bool = False,
     ):
         self.cfg = cfg
+        if cfg.debug_nans:
+            from maxsquareloss_tpu.utils.debug import enable_debug
+
+            enable_debug(nans=True)
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.logger = logger or setup_logger(cfg.checkpoint_dir)
@@ -148,7 +152,7 @@ class Trainer:
             self.cfg.checkpoint_dir,
             self.state,
             self.frozen,
-            self.current_epoch,
+            self.current_epoch + 1,  # number of COMPLETED epochs; resume starts here
             self.best_miou,
             is_best=is_best,
         )
@@ -177,21 +181,41 @@ class Trainer:
         cfg = self.cfg
         t0, imgs = time.time(), 0
         last_metrics = {}
+        profiling = False
         for batch in self._epoch_batches():
+            it_before = int(np.asarray(self.state.iteration))
+            if cfg.profile and it_before == 2 and not profiling:
+                # capture steps 2-5 (past compile + warmup) into ckpt dir
+                import os as _os
+
+                jax.profiler.start_trace(
+                    _os.path.join(cfg.checkpoint_dir, "profile")
+                )
+                profiling = True
             self.state, metrics = self._run_step(batch)
             it = int(np.asarray(self.state.iteration))
+            if profiling and it >= 6:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.stop_trace()
+                profiling = False
+                self.logger.info("wrote profiler trace (steps 2-5)")
             imgs += self._batch_images(batch)
             last_metrics = metrics
-            if it % 20 == 0:
-                m = {k: float(np.asarray(v)) for k, v in metrics.items()}
-                for k, v in m.items():
-                    self.writer.add_scalar(f"train/{k}", v, it)
+            # scalars every iteration (as the reference's writer.add_scalar);
+            # console line every 20
+            m = {k: float(np.asarray(v)) for k, v in metrics.items()}
+            for k, v in m.items():
+                self.writer.add_scalar(f"train/{k}", v, it)
+            if it % 20 == 0 or it <= 1:
                 self.logger.info(
                     f"epoch {self.current_epoch} iter {it}: "
                     + " ".join(f"{k}={v:.5f}" for k, v in m.items())
                 )
             if it >= cfg.effective_iter_stop():
                 break
+        if profiling:
+            jax.block_until_ready(self.state.params)
+            jax.profiler.stop_trace()
         dt = time.time() - t0
         if imgs:
             self.writer.add_scalar(

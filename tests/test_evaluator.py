@@ -1,0 +1,70 @@
+"""Multi-scale / flip evaluation path tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maxsquareloss_tpu.config import TrainConfig
+from maxsquareloss_tpu.data.loader import SegDataLoader
+from maxsquareloss_tpu.data.synthetic import SyntheticSegDataset
+from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+from maxsquareloss_tpu.train.evaluator import evaluate, make_multiscale_eval_step
+from maxsquareloss_tpu.train.steps import model_config
+
+SMALL = (1, 1, 2, 1)
+
+
+def _setup(**kw):
+    kw.setdefault("blocks", SMALL)
+    kw.setdefault("data_parallel", False)
+    cfg = TrainConfig(**kw)
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    return cfg, params, frozen
+
+
+def test_single_scale_matches_eval_step(rng):
+    from maxsquareloss_tpu.train.steps import make_eval_step
+
+    cfg, params, frozen = _setup()
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(-1, 19, (2, 32, 64)).astype(np.int32))
+    cm_ref, arg_ref = make_eval_step(cfg, frozen)(params, x, y)
+    cm_ms, arg_ms = make_multiscale_eval_step(cfg, frozen, scales=(1.0,))(params, x, y)
+    np.testing.assert_array_equal(np.asarray(arg_ms), np.asarray(arg_ref))
+    np.testing.assert_array_equal(np.asarray(cm_ms), np.asarray(cm_ref))
+
+
+def test_flip_average_plumbing(rng):
+    """flip=True must equal prob(x) + unflip(prob(flip(x))) computed by hand."""
+    from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2
+    from maxsquareloss_tpu.ops.resize import upsample_logits
+
+    cfg, params, frozen = _setup()
+    mcfg = model_config(cfg)
+    x = jnp.asarray(rng.normal(0, 1, (1, 32, 64, 3)).astype(np.float32))
+    y = jnp.asarray(rng.integers(-1, 19, (1, 32, 64)).astype(np.int32))
+
+    def prob(img):
+        _, main = apply_deeplabv2(params, frozen, img, mcfg)
+        return jax.nn.softmax(upsample_logits(main, (32, 64)), axis=-1)
+
+    want = jnp.argmax(
+        prob(x) + prob(x[:, :, ::-1, :])[:, :, ::-1, :], axis=-1
+    )
+    step_flip = make_multiscale_eval_step(cfg, frozen, scales=(1.0,), flip=True)
+    _, got = step_flip(params, x, y)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_multiscale_runs_and_reports(rng):
+    cfg, params, frozen = _setup()
+    loader = SegDataLoader(
+        SyntheticSegDataset(length=4, hw=(32, 64)), batch_size=2,
+        shuffle=False, num_workers=1,
+    )
+    out = evaluate(
+        params, frozen, cfg, loader, scales=(0.5, 1.0), flip=True,
+        synthia_protocol=True,
+    )
+    assert set(out) >= {"PA", "MPA", "MIoU", "FWIoU", "MIoU_16", "MIoU_13", "_eval"}
+    assert 0.0 <= out["MIoU"] <= 1.0
