@@ -108,11 +108,29 @@ class SegDataset:
         return os.path.join(self.root, img_rel), os.path.join(self.root, lab_rel)
 
     # -- raw loading -----------------------------------------------------
+    # Decode through the native libpng extension when built (GIL-released,
+    # one pass — native/hostops.cpp); PIL otherwise. The PIL wrapper around
+    # the decoded array keeps the paired-aug API unchanged.
 
     def _load_image(self, path: str) -> Image.Image:
+        from maxsquareloss_tpu.data import hostops
+
+        if path.endswith(".png") and hostops.available():
+            with open(path, "rb") as f:
+                return Image.fromarray(hostops.decode_png(f.read(), True))
         return Image.open(path).convert("RGB")
 
     def _load_mask(self, path: str) -> Image.Image:
+        from maxsquareloss_tpu.data import hostops
+
+        if path.endswith(".png") and hostops.available():
+            with open(path, "rb") as f:
+                arr = hostops.decode_png(f.read(), False)
+            if arr.ndim == 3:
+                arr = arr[..., 0]
+            if arr.dtype != np.uint8:
+                return Image.fromarray(arr.astype(np.int32), mode="I")
+            return Image.fromarray(arr)
         return Image.open(path)
 
     # -- sample assembly -------------------------------------------------

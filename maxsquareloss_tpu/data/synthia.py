@@ -50,6 +50,16 @@ class SynthiaDataset(SegDataset):
         )
 
     def _load_mask(self, path: str):
+        from maxsquareloss_tpu.data import hostops
+
+        if hostops.available():
+            # native libpng path: raw 16-bit channels in file order, so
+            # channel 0 is the class id (same convention as imageio PNG-FI)
+            with open(path, "rb") as f:
+                raw = hostops.decode_png(f.read(), False)
+            if raw.ndim == 3:
+                raw = raw[:, :, 0]
+            return Image.fromarray(raw.astype(np.int32), mode="I")
         try:
             import cv2
 

@@ -1,0 +1,87 @@
+"""Native host-ops extension: decode/remap/normalize parity vs PIL/numpy."""
+
+import io
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from maxsquareloss_tpu.data import hostops
+
+pytestmark = pytest.mark.skipif(
+    not hostops.available(), reason="native extension not built"
+)
+
+
+def _png(arr):
+    b = io.BytesIO()
+    Image.fromarray(arr).save(b, "PNG")
+    return b.getvalue()
+
+
+def test_decode_rgb(rng):
+    img = rng.integers(0, 255, (33, 47, 3)).astype(np.uint8)
+    np.testing.assert_array_equal(hostops.decode_png(_png(img)), img)
+
+
+def test_decode_gray_label(rng):
+    lab = rng.integers(0, 255, (33, 47)).astype(np.uint8)
+    got = hostops.decode_png(_png(lab), False)
+    np.testing.assert_array_equal(got, lab)
+
+
+def test_decode_16bit(rng):
+    lab = rng.integers(0, 40, (17, 23)).astype(np.uint16)
+    got = hostops.decode_png(_png(lab), False)
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, lab)
+
+
+def test_fused_remap_matches_numpy(rng):
+    lab = rng.integers(0, 256, (33, 47)).astype(np.uint8)
+    lut = rng.integers(-1, 19, 256).astype(np.int32)
+    got = hostops.decode_remap(_png(lab), lut)
+    np.testing.assert_array_equal(got, lut[lab])
+
+
+def test_fused_normalize_matches_numpy(rng):
+    from maxsquareloss_tpu.data.palette import IMG_MEAN
+
+    img = rng.integers(0, 255, (33, 47, 3)).astype(np.uint8)
+    got = hostops.decode_normalize_bgr(_png(img), IMG_MEAN)
+    want = img[..., ::-1].astype(np.float32) - IMG_MEAN
+    np.testing.assert_allclose(got, want)
+
+
+def test_bad_png_raises():
+    with pytest.raises(ValueError):
+        hostops.decode_png(b"not a png at all")
+
+
+def test_dataset_uses_native_path(tmp_path, rng):
+    """SegDataset through the native decode gives identical tensors to PIL."""
+    from maxsquareloss_tpu.data import CityscapesDataset, TransformConfig
+    from maxsquareloss_tpu.data.cityscapes import CITYSCAPES_ID_TO_TRAINID
+
+    root = tmp_path
+    rel = "leftImg8bit/val/x/x_000000_leftImg8bit.png"
+    lrel = rel.replace("leftImg8bit", "gtFine", 1).replace(
+        "_leftImg8bit.png", "_gtFine_labelIds.png"
+    )
+    (root / rel).parent.mkdir(parents=True)
+    (root / lrel).parent.mkdir(parents=True)
+    img = rng.integers(0, 255, (16, 32, 3)).astype(np.uint8)
+    lab = rng.choice(list(CITYSCAPES_ID_TO_TRAINID), size=(16, 32)).astype(np.uint8)
+    Image.fromarray(img).save(root / rel)
+    Image.fromarray(lab).save(root / lrel)
+    (root / "val.txt").write_text(rel)
+    cfg = TransformConfig(base_size=(32, 16), crop_size=(32, 16))
+    ds = CityscapesDataset(str(root), str(root / "val.txt"), split="val", transform_cfg=cfg)
+    x, y, _ = ds.get(0, np.random.default_rng(0))
+    # oracle: plain PIL decode + same transforms
+    from maxsquareloss_tpu.data.transforms import img_transform, mask_transform
+
+    want_x = img_transform(img, True)
+    want_y = mask_transform(lab, ds.lut)
+    np.testing.assert_allclose(x, want_x)
+    np.testing.assert_array_equal(y, want_y)
