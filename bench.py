@@ -40,7 +40,7 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--steps", type=int, default=10)
     p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--mode", default="uda", choices=("uda", "source"))
+    p.add_argument("--mode", default="uda", choices=("uda", "source", "infer"))
     p.add_argument("--hw", default="512,1024")
     # no-remat is fastest at the default global batch 8 on v5e (16G HBM);
     # batch 16 does not fit even with stage remat.
@@ -103,6 +103,22 @@ def main():
         step = make_uda_train_step(cfg, frozen)
         run = lambda s: step(s, xs, ys, xt)
         imgs_per_step = 2 * args.batch  # source + target images per step
+    elif args.mode == "infer":
+        # single-scale val inference: forward + upsample + argmax + CM
+        from maxsquareloss_tpu.train.steps import make_eval_step
+
+        estep = make_eval_step(cfg, frozen)
+        p_infer = state.params
+        counter = [0]
+
+        def run(s):
+            # perturb the input per call: identical (executable, args) pairs
+            # can be result-cached by the remote executor, faking the timing
+            counter[0] += 1
+            cm, arg = estep(p_infer, jnp.add(xs, counter[0] * 1e-6), ys)
+            return s, {"loss": cm[0, 0]}
+
+        imgs_per_step = args.batch
     else:
         step = make_supervised_train_step(cfg, frozen)
         run = lambda s: step(s, xs, ys)
@@ -110,12 +126,12 @@ def main():
 
     for _ in range(args.warmup):
         state, metrics = run(state)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready((state.params, metrics))
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = run(state)
-    jax.block_until_ready(state.params)
+    jax.block_until_ready((state.params, metrics))
     dt = time.perf_counter() - t0
 
     imgs_per_sec = imgs_per_step * args.steps / dt

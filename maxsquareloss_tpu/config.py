@@ -78,6 +78,8 @@ class TrainConfig:
     continue_training: bool = False
     epoch_num: int = 100
     save_inter_epoch: int = 1
+    save_iter: int | None = None       # also checkpoint every N iterations
+    tqdm: bool = True                  # progress bars (reference uses tqdm)
     validation_epoch: int = 1
     show_num_images: int = 3
     data_parallel: bool = True         # shard batch over all local devices

@@ -147,12 +147,14 @@ class Trainer:
                 f"loaded checkpoint {path} (epoch {epoch}, best mIoU {best:.4f})"
             )
 
-    def save_checkpoint(self, is_best: bool = False):
+    def save_checkpoint(self, is_best: bool = False, mid_epoch: bool = False):
+        # records COMPLETED epochs; a mid-epoch save restarts its epoch on resume
+        completed = self.current_epoch if mid_epoch else self.current_epoch + 1
         ckpt_lib.save_checkpoint(
             self.cfg.checkpoint_dir,
             self.state,
             self.frozen,
-            self.current_epoch + 1,  # number of COMPLETED epochs; resume starts here
+            completed,
             self.best_miou,
             is_best=is_best,
         )
@@ -182,7 +184,20 @@ class Trainer:
         t0, imgs = time.time(), 0
         last_metrics = {}
         profiling = False
-        for batch in self._epoch_batches():
+        batches = self._epoch_batches()
+        if cfg.tqdm:
+            try:
+                from tqdm import tqdm as _tqdm
+
+                batches = _tqdm(
+                    batches,
+                    desc=f"epoch {self.current_epoch}",
+                    total=getattr(self.train_loader, "num_iterations", None),
+                    leave=False,
+                )
+            except ImportError:
+                pass
+        for batch in batches:
             it_before = int(np.asarray(self.state.iteration))
             if cfg.profile and it_before == 2 and not profiling:
                 # capture steps 2-5 (past compile + warmup) into ckpt dir
@@ -211,6 +226,10 @@ class Trainer:
                     f"epoch {self.current_epoch} iter {it}: "
                     + " ".join(f"{k}={v:.5f}" for k, v in m.items())
                 )
+            if cfg.save_iter and it % cfg.save_iter == 0:
+                # periodic mid-epoch checkpoint (preemption resilience,
+                # SURVEY.md §5.3 rebuild plan)
+                self.save_checkpoint(mid_epoch=True)
             if it >= cfg.effective_iter_stop():
                 break
         if profiling:
