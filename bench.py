@@ -138,7 +138,10 @@ def main():
     per_chip = imgs_per_sec / max(n_chips, 1)
     loss = float(np.asarray(metrics["loss"]))
     result = {
-        "metric": f"{args.mode}_train_images_per_sec_per_chip_{w}x{h}_{args.dtype}",
+        "metric": (
+            f"{args.mode}{'_train' if args.mode != 'infer' else ''}"
+            f"_images_per_sec_per_chip_{w}x{h}_{args.dtype}"
+        ),
         "value": round(per_chip, 3),
         "unit": "images/sec/chip",
         "vs_baseline": round(per_chip / A100_COMPARATOR_IMGS_PER_SEC, 3),

@@ -64,6 +64,7 @@ class TrainConfig:
     target_base_size: tuple[int, int] = (1024, 512)
     target_crop_size: tuple[int, int] = (1024, 512)
     num_workers: int = 8
+    cache_dir: str | None = None       # decoded-sample cache (base-size npz)
     random_mirror: bool = True
     random_crop: bool = False
     gaussian_blur: bool = True
@@ -125,6 +126,8 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--base_size", default="1280,720")
     p.add_argument("--crop_size", default="1280,640")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--cache_dir", default=None,
+                   help="decoded-sample cache dir (skips PNG decode + base resize)")
     p.add_argument("--random_mirror", type=str2bool, default=True)
     p.add_argument("--random_crop", type=str2bool, default=False)
     p.add_argument("--gaussian_blur", type=str2bool, default=True)

@@ -74,12 +74,21 @@ class SegDataset:
         class_13: bool = False,
         relabel_13: bool = False,
         full_res_labels: bool = False,
+        cache_dir: str | None = None,
     ):
         self.root = root
         self.split = split
         self.cfg = transform_cfg or TransformConfig()
         self.training = split == "train"
         self.full_res_labels = full_res_labels
+        # decoded-sample cache: stores (image, raw mask) resized to base_size
+        # as .npz so steady-state epochs skip PNG decode + the big resize —
+        # the host-side hot spot (SURVEY.md §3.4 / hard part #5). Only the
+        # deterministic prefix is cached; augmentation stays per-epoch
+        # (h-flip commutes with resize, so semantics are unchanged).
+        self.cache_dir = cache_dir
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
         self.lut = remap_lut(self.id_to_trainid, max_id=self.max_label_id())
         self.class_filter = None
         if class_13:
@@ -135,12 +144,36 @@ class SegDataset:
 
     # -- sample assembly -------------------------------------------------
 
+    def _load_pair(self, index: int) -> tuple[Image.Image, Image.Image]:
+        """(image, mask) PIL pair — through the base-size cache when enabled."""
+        item = self.items[index]
+        img_path, lab_path = self._pair_paths(item)
+        if self.cache_dir is None or (not self.training and self.full_res_labels):
+            return self._load_image(img_path), self._load_mask(lab_path)
+        w, h = self.cfg.base_size
+        key = f"{index:06d}_{w}x{h}.npz"
+        path = os.path.join(self.cache_dir, key)
+        if os.path.exists(path):
+            z = np.load(path)
+            img = Image.fromarray(z["img"])
+            m = z["mask"]
+            mask = Image.fromarray(m) if m.dtype == np.uint8 else Image.fromarray(
+                m.astype(np.int32), mode="I"
+            )
+            return img, mask
+        img = self._load_image(img_path).resize(self.cfg.base_size, Image.BICUBIC)
+        mask = self._load_mask(lab_path).resize(self.cfg.base_size, Image.NEAREST)
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            np.savez(f, img=np.asarray(img), mask=np.asarray(mask))
+        os.replace(tmp, path)
+        return img, mask
+
     def get(self, index: int, rng: np.random.Generator):
         """→ (image (H,W,3) float32, label (H,W) int32, item_name)."""
         item = self.items[index]
-        img_path, lab_path = self._pair_paths(item)
-        img = self._load_image(img_path)
-        mask = self._load_mask(lab_path)
+        img_path, _ = self._pair_paths(item)
+        img, mask = self._load_pair(index)
         if self.training:
             img, mask = train_sync_transform(img, mask, self.cfg, rng)
         else:

@@ -71,10 +71,12 @@ def img_transform(img: Image.Image | np.ndarray, numpy_transform: bool = True) -
 
 
 def _resize_pair(img: Image.Image, mask: Image.Image, size_wh: tuple[int, int]):
-    return (
-        img.resize(size_wh, Image.BICUBIC),
-        mask.resize(size_wh, Image.NEAREST),
-    )
+    # identity resizes are skipped (cached samples arrive pre-resized)
+    if img.size != size_wh:
+        img = img.resize(size_wh, Image.BICUBIC)
+    if mask.size != size_wh:
+        mask = mask.resize(size_wh, Image.NEAREST)
+    return img, mask
 
 
 def train_sync_transform(
@@ -87,6 +89,10 @@ def train_sync_transform(
     if cfg.random_mirror and rng.random() < 0.5:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
         mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+    # resize to base_size first, THEN optionally scale+crop — the reference
+    # pipeline order (SURVEY.md C1/§3.4); also makes the decoded-sample
+    # cache (stored at base_size) bit-identical to the uncached path
+    img, mask = _resize_pair(img, mask, cfg.base_size)
     if cfg.random_crop:
         scale = rng.uniform(*cfg.scale_range)
         sw = max(int(round(cfg.base_size[0] * scale)), cfg.crop_size[0])
@@ -96,8 +102,6 @@ def train_sync_transform(
         y0 = int(rng.integers(0, sh - cfg.crop_size[1] + 1))
         box = (x0, y0, x0 + cfg.crop_size[0], y0 + cfg.crop_size[1])
         img, mask = img.crop(box), mask.crop(box)
-    else:
-        img, mask = _resize_pair(img, mask, cfg.base_size)
     if cfg.gaussian_blur and rng.random() < cfg.blur_prob:
         img = img.filter(ImageFilter.GaussianBlur(radius=float(rng.random())))
     return img, mask

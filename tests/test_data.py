@@ -202,3 +202,28 @@ def test_gta5_paths(tmp_path, rng):
     ds = GTA5Dataset(str(root), str(lf), split="train", transform_cfg=cfg)
     x, y, _ = ds.get(0, np.random.default_rng(1))
     assert x.shape == (16, 32, 3) and y.max() < 19
+
+
+def test_decoded_cache_matches_uncached(city_root, tmp_path):
+    """Cached pipeline (base-size npz) == uncached pipeline, bit for bit."""
+    root, list_file = city_root
+    cfg = TransformConfig(
+        base_size=(24, 12), crop_size=(16, 8), random_crop=True, gaussian_blur=True
+    )
+    plain = CityscapesDataset(root, list_file, split="train", transform_cfg=cfg)
+    cached = CityscapesDataset(
+        root, list_file, split="train", transform_cfg=cfg,
+        cache_dir=str(tmp_path / "cache"),
+    )
+    for idx in range(2):
+        for seed in (0, 7):
+            a = plain.get(idx, np.random.default_rng(seed))
+            b = cached.get(idx, np.random.default_rng(seed))  # builds cache
+            c = cached.get(idx, np.random.default_rng(seed))  # reads cache
+            np.testing.assert_array_equal(a[0], b[0])
+            np.testing.assert_array_equal(a[1], b[1])
+            np.testing.assert_array_equal(b[0], c[0])
+            np.testing.assert_array_equal(b[1], c[1])
+    import os as _os
+
+    assert len(_os.listdir(tmp_path / "cache")) == 2

@@ -74,6 +74,10 @@ def make_loader(
     **dataset_kw,
 ) -> SegDataLoader:
     cls = DATASET_CLS[dataset_name]
+    if cfg.cache_dir:
+        dataset_kw.setdefault(
+            "cache_dir", os.path.join(cfg.cache_dir, f"{dataset_name}_{split}")
+        )
     ds = cls(
         root,
         list_path,
