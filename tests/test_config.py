@@ -1,0 +1,62 @@
+"""Config / CLI flag parity tests."""
+
+import argparse
+
+from maxsquareloss_tpu.config import (
+    TrainConfig,
+    add_train_args,
+    add_uda_train_args,
+    config_from_args,
+)
+
+
+def _parse(argv):
+    p = argparse.ArgumentParser()
+    add_train_args(p)
+    add_uda_train_args(p)
+    return p.parse_args(argv)
+
+
+def test_reference_command_translates(tmp_path):
+    """A published-style reference command parses flag-for-flag."""
+    args = _parse([
+        "--dataset", "gta5",
+        "--checkpoint_dir", str(tmp_path),
+        "--base_size", "1280,720",
+        "--crop_size", "1280,640",
+        "--target_mode", "IW_maxsquare",
+        "--lambda_target", "0.09",
+        "--IW_ratio", "0.2",
+        "--threshold", "0.95",
+        "--multi", "true",
+        "--iter_max", "200000",
+        "--poly_power", "0.9",
+        "--freeze_bn", "true",
+        "--numpy_transform", "true",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.base_size == (1280, 720)
+    assert cfg.crop_size == (1280, 640)
+    assert cfg.target_mode == "IW_maxsquare"
+    assert cfg.ratio == 0.2          # --IW_ratio maps to cfg.ratio
+    assert cfg.lambda_target == 0.09
+    assert cfg.threshold == 0.95
+    assert cfg.multi and cfg.freeze_bn and cfg.numpy_transform
+    assert cfg.iter_max == 200000 and cfg.poly_power == 0.9
+
+
+def test_defaults_match_reference():
+    cfg = TrainConfig()
+    assert cfg.lr == 2.5e-4
+    assert cfg.momentum == 0.9
+    assert cfg.weight_decay == 5e-4
+    assert cfg.poly_power == 0.9
+    assert cfg.ratio == 0.2
+    assert cfg.num_classes == 19
+    assert cfg.blocks == (3, 4, 23, 3)
+
+
+def test_size_string_roundtrip(tmp_path):
+    args = _parse(["--checkpoint_dir", str(tmp_path), "--target_base_size", "1024,512"])
+    cfg = config_from_args(args)
+    assert cfg.target_base_size == (1024, 512)

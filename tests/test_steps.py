@@ -127,3 +127,39 @@ def test_bfloat16_step_runs(rng):
     assert np.isfinite(float(np.asarray(metrics["loss"])))
     # params/update stay fp32 even with bf16 compute
     assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
+
+
+def test_uda_trajectory_matches_torch(rng):
+    """6-step UDA loss trajectory parity vs the torch reference loop:
+    source CE + IW max-square with ensemble guidance + aux guidance CE,
+    two param groups, poly LR (the paper's full training semantics)."""
+    from maxsquareloss_tpu.convert import torch_state_dict_to_pytrees
+    from tests.torch_oracle import make_oracle, train_oracle_uda
+
+    model = make_oracle(layers=SMALL)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params, frozen = torch_state_dict_to_pytrees(sd, blocks=SMALL)
+    cfg = _small_cfg(target_mode="IW_maxsquare", threshold=0.5)
+    batches = [
+        (
+            rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32),
+            rng.integers(-1, 19, (2, 32, 64)).astype(np.int32),
+            rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32),
+        )
+        for _ in range(6)
+    ]
+    step = make_uda_train_step(cfg, frozen)
+    state = make_train_state(jax.tree.map(jnp.asarray, params))
+    jax_losses = []
+    for xs, ys, xt in batches:
+        state, metrics = step(
+            state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt)
+        )
+        jax_losses.append(float(np.asarray(metrics["loss"])))
+    torch_losses = train_oracle_uda(
+        model, batches, base_lr=cfg.lr, max_iter=cfg.iter_max,
+        power=cfg.poly_power, momentum=cfg.momentum, wd=cfg.weight_decay,
+        lambda_seg=cfg.lambda_seg, lambda_target=cfg.lambda_target,
+        ratio=cfg.ratio, threshold=cfg.threshold,
+    )
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)

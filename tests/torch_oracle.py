@@ -164,3 +164,77 @@ def train_oracle_supervised(model, batches, base_lr=2.5e-4, max_iter=100, power=
         opt.step()
         losses.append(float(loss.detach()))
     return losses
+
+
+def train_oracle_uda(model, batches, base_lr=2.5e-4, max_iter=100, power=0.9,
+                     momentum=0.9, wd=5e-4, lambda_seg=0.1, lambda_target=0.09,
+                     ratio=0.2, threshold=0.95, num_class=19):
+    """Reference-semantics UDA loop: source CE + lambda_target * IW-max-square
+    (guidance label into the histogram, detached weights gathered by argpred)
+    + lambda_target*lambda_seg * aux guidance CE; one SGD step per pair."""
+    import numpy as np
+    import torch.nn.functional as F
+
+    backbone, heads = [], []
+    for name, p in model.named_parameters():
+        if not p.requires_grad:
+            continue
+        (heads if name.startswith(("layer5", "layer6")) else backbone).append(p)
+    opt = torch.optim.SGD(
+        [{"params": backbone, "lr": base_lr}, {"params": heads, "lr": base_lr * 10}],
+        lr=base_lr, momentum=momentum, weight_decay=wd,
+    )
+    losses = []
+    for it, (xs, ys, xt) in enumerate(batches):
+        lr = base_lr * (1 - it / max_iter) ** power
+        opt.param_groups[0]["lr"] = lr
+        opt.param_groups[1]["lr"] = lr * 10
+        xs_t = torch.from_numpy(xs).permute(0, 3, 1, 2)
+        ys_t = torch.from_numpy(ys).long()
+        xt_t = torch.from_numpy(xt).permute(0, 3, 1, 2)
+        size = ys_t.shape[-2:]
+
+        aux_s, main_s = model(xs_t)
+        main_s = F.interpolate(main_s, size=size, mode="bilinear", align_corners=True)
+        aux_s = F.interpolate(aux_s, size=size, mode="bilinear", align_corners=True)
+        loss = F.cross_entropy(main_s, ys_t, ignore_index=-1) + lambda_seg * F.cross_entropy(
+            aux_s, ys_t, ignore_index=-1
+        )
+
+        aux_t, main_t = model(xt_t)
+        tsize = xt_t.shape[-2:]
+        main_t = F.interpolate(main_t, size=tsize, mode="bilinear", align_corners=True)
+        aux_t = F.interpolate(aux_t, size=tsize, mode="bilinear", align_corners=True)
+        p_main = F.softmax(main_t, dim=1)
+        p_aux = F.softmax(aux_t, dim=1)
+        ens = (p_main + p_aux) / 2
+        maxp, arg = ens.max(dim=1)
+        label = torch.where(maxp > threshold, arg, torch.full_like(arg, -1)).detach()
+
+        n = p_main.shape[0]
+        argpred = p_main.argmax(dim=1)
+        pix_w = torch.zeros_like(maxp)
+        for i in range(n):
+            hist = torch.histc(
+                label[i].float(), bins=num_class + 1, min=-1, max=num_class - 1
+            ).float()[1:]
+            w = 1.0 / torch.max(
+                hist.pow(ratio) * hist.sum().pow(1 - ratio), torch.ones(1)
+            )
+            pix_w[i] = w[argpred[i]]
+        pix_w = pix_w.detach()
+        loss_t = -(p_main.pow(2) * pix_w.unsqueeze(1)).sum() / (n * num_class)
+        # torch CE over an all-ignored target reads NaN (with zero grads);
+        # the jax framework returns 0 for that case — same gradients, so
+        # guard the readout identically for trajectory comparison
+        if (label != -1).any():
+            loss_aux_t = F.cross_entropy(aux_t, label, ignore_index=-1)
+        else:
+            loss_aux_t = torch.zeros(())
+        loss = loss + lambda_target * loss_t + lambda_target * lambda_seg * loss_aux_t
+
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        losses.append(float(loss.detach()))
+    return losses
