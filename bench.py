@@ -49,6 +49,8 @@ def main():
                    help="space-to-batch dilated convs")
     p.add_argument("--pallas", action="store_true",
                    help="fused Pallas kernels for the target loss")
+    p.add_argument("--concat", action="store_true",
+                   help="UDA: concatenated source+target forward")
     args = p.parse_args()
 
     import jax
@@ -73,6 +75,7 @@ def main():
         remat=args.remat,
         space_to_batch=args.s2b,
         use_pallas=args.pallas,
+        concat_batches=args.concat,
         batch_size=args.batch,
         data_parallel=n_chips > 1,
     )

@@ -37,6 +37,7 @@ class TrainConfig:
     remat: str = ""                    # '' | 'stages'
     space_to_batch: bool = False       # dilated convs as dense parity-subgrid convs
     use_pallas: bool = False           # fused Pallas kernels for max-square losses
+    concat_batches: bool = False       # UDA: one concatenated fwd for src+tgt (frozen BN)
 
     # optimizer (reference defaults: SGD 2.5e-4, momentum .9, wd 5e-4)
     lr: float = 2.5e-4

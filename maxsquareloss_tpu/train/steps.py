@@ -212,10 +212,32 @@ def make_uda_train_step(cfg: TrainConfig, frozen):
         lr_mults = lr_mult_tree(state.params)
 
         def loss_fn(params):
-            src_loss, metrics = _source_loss(params, frozen, xs, ys, cfg, mcfg)
-            aux_t, main_t = _forward_upsampled(
-                params, frozen, xt, mcfg, (xt.shape[1], xt.shape[2])
-            )
+            if cfg.concat_batches and xs.shape == xt.shape:
+                # frozen BN → no cross-batch coupling: one concatenated
+                # forward over [source; target] is bit-equivalent to two and
+                # runs bigger matmuls on the MXU
+                aux_all, main_all = apply_deeplabv2(
+                    params, frozen, jnp.concatenate([xs, xt], axis=0), mcfg
+                )
+                n = xs.shape[0]
+                out_hw = (ys.shape[1], ys.shape[2])
+                main_s = upsample_logits(main_all[:n], out_hw)
+                main_t = upsample_logits(main_all[n:], (xt.shape[1], xt.shape[2]))
+                aux_s = aux_t = None
+                if aux_all is not None:
+                    aux_s = upsample_logits(aux_all[:n], out_hw)
+                    aux_t = upsample_logits(aux_all[n:], (xt.shape[1], xt.shape[2]))
+                src_loss = cross_entropy(main_s, ys)
+                metrics = {"loss_source": src_loss}
+                if aux_s is not None:
+                    loss_aux = cross_entropy(aux_s, ys)
+                    metrics["loss_source_aux"] = loss_aux
+                    src_loss = src_loss + cfg.lambda_seg * loss_aux
+            else:
+                src_loss, metrics = _source_loss(params, frozen, xs, ys, cfg, mcfg)
+                aux_t, main_t = _forward_upsampled(
+                    params, frozen, xt, mcfg, (xt.shape[1], xt.shape[2])
+                )
             prob_main = jax.nn.softmax(main_t, axis=-1)
             prob_aux = jax.nn.softmax(aux_t, axis=-1) if aux_t is not None else None
             tgt_loss, label, tmetrics = target_loss_fn(

@@ -163,3 +163,22 @@ def test_uda_trajectory_matches_torch(rng):
         ratio=cfg.ratio, threshold=cfg.threshold,
     )
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)
+
+
+def test_concat_batches_step_equivalent(rng):
+    """Frozen BN → concatenated src+tgt forward == two forwards, same update."""
+    cfg_a = _small_cfg(target_mode="IW_maxsquare", threshold=0.5)
+    cfg_b = _small_cfg(target_mode="IW_maxsquare", threshold=0.5, concat_batches=True)
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg_a))
+    xs = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    ys = jnp.asarray(rng.integers(-1, 19, (2, 32, 64)).astype(np.int32))
+    xt = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    sa = make_train_state(jax.tree.map(jnp.array, params))
+    sb = make_train_state(jax.tree.map(jnp.array, params))
+    sa, ma = make_uda_train_step(cfg_a, frozen)(sa, xs, ys, xt)
+    sb, mb = make_uda_train_step(cfg_b, frozen)(sb, xs, ys, xt)
+    assert float(np.asarray(ma["loss"])) == pytest.approx(
+        float(np.asarray(mb["loss"])), rel=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
