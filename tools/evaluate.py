@@ -34,6 +34,9 @@ def main(argv=None):
     add_train_args(parser)
     parser.add_argument("--scales", default="1.0", help="comma list, e.g. 0.75,1.0,1.25")
     parser.add_argument("--flip", type=str2bool, default=False)
+    parser.add_argument("--full_res_labels", type=str2bool, default=False,
+                        help="keep labels at native resolution; predictions are"
+                             " upsampled to label size (reference §3.3 variant)")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
     logger = setup_logger(cfg.checkpoint_dir, "evaluate")
@@ -61,6 +64,7 @@ def main(argv=None):
     loader = make_loader(
         cfg, cfg.dataset, paths["root"], args.list_path or paths["val"], "val",
         class_16=cfg.class_16, class_13=cfg.class_13,
+        full_res_labels=args.full_res_labels,
     )
     scales = tuple(float(s) for s in args.scales.split(","))
     out = evaluate(
