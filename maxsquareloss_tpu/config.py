@@ -137,6 +137,8 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--class_13", type=str2bool, default=False)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--epoch_num", type=int, default=100)
+    p.add_argument("--save_iter", type=int, default=None,
+                   help="also checkpoint every N iterations (mid-epoch)")
     p.add_argument("--validation_epoch", type=int, default=1)
     p.add_argument("--show_num_images", type=int, default=3)
     p.add_argument("--compute_dtype", default="float32",
