@@ -59,18 +59,24 @@ class SegDataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _order(self) -> np.ndarray:
+    def _order(self, epoch: int) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng((self.seed, self.epoch)).shuffle(idx)
+            np.random.default_rng((self.seed, epoch)).shuffle(idx)
         return idx
 
-    def _sample(self, index: int):
-        rng = np.random.default_rng((self.seed, self.epoch, int(index)))
+    def _sample(self, index: int, epoch: int):
+        rng = np.random.default_rng((self.seed, epoch, int(index)))
         return self.dataset.get(int(index), rng)
 
     def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, list[str]]]:
-        order = self._order()
+        # Capture-and-advance UP FRONT: a zip() that abandons this generator
+        # (UDA pairs a long source loader with a short target loader) must
+        # still see a fresh shuffle + fresh augmentation RNG next epoch.
+        # Trainers additionally call set_epoch() so resume stays aligned.
+        epoch = self.epoch
+        self.epoch = epoch + 1
+        order = self._order(epoch)
         n = len(order)
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         order = order[:limit]
@@ -86,7 +92,7 @@ class SegDataLoader:
                         i = next(it)
                     except StopIteration:
                         return
-                    futures.append(pool.submit(self._sample, i))
+                    futures.append(pool.submit(self._sample, i, epoch))
 
             refill()
             batch: list = []
@@ -101,7 +107,6 @@ class SegDataLoader:
                     names = [b[2] for b in batch]
                     yield xs, ys, names
                     batch = []
-        self.epoch += 1
 
     def __len__(self) -> int:
         return self.num_iterations

@@ -91,6 +91,11 @@ class Trainer:
         return make_supervised_train_step(self.cfg, self.frozen)
 
     def _epoch_batches(self):
+        if hasattr(self.train_loader, "set_epoch"):
+            # Pin the shuffle/aug RNG epoch explicitly: a zip() in the UDA
+            # loop can abandon a loader mid-iteration, and resume must
+            # restart the epoch with the same draw (ADVICE r1, high).
+            self.train_loader.set_epoch(self.current_epoch)
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         return device_prefetch(iter(self.train_loader), sharding=sharding)
 

@@ -38,6 +38,12 @@ class UDATrainer(Trainer):
     def _epoch_batches(self):
         """zip(source, target) — epoch length is the shorter loader
         (reference zips the two iterators the same way)."""
+        for loader in (self.train_loader, self.target_loader):
+            if hasattr(loader, "set_epoch"):
+                # zip abandons the longer loader's generator, so without this
+                # the source loader would replay epoch 0's shuffle + augs
+                # forever (ADVICE r1, high).
+                loader.set_epoch(self.current_epoch)
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         src = device_prefetch(iter(self.train_loader), sharding=sharding)
         tgt = device_prefetch(iter(self.target_loader), sharding=sharding)

@@ -139,6 +139,30 @@ def test_loader_batching_and_epoch_reshuffle():
     assert xs.shape == (4, 8, 8, 3) and ys.shape == (4, 8, 8)
 
 
+def test_abandoned_loader_still_advances_epoch():
+    """UDA zips a long source loader with a short target loader — the
+    abandoned source generator must still get a fresh shuffle + fresh
+    per-sample aug RNG next epoch (ADVICE r1, high)."""
+    ds = SyntheticSegDataset(length=12, hw=(8, 8))
+    dl = SegDataLoader(ds, batch_size=2, shuffle=True, num_workers=1, seed=3)
+
+    def first_batch_abandoning():
+        it = iter(dl)
+        batch = next(it)  # abandon the rest, as zip() with a shorter iter does
+        return batch
+
+    _, ys1, names1 = first_batch_abandoning()
+    _, ys2, names2 = first_batch_abandoning()
+    assert dl.epoch == 2
+    assert names1 != names2  # reshuffled despite never finishing epoch 0
+
+    # set_epoch rewinds deterministically (trainer resume path)
+    dl.set_epoch(0)
+    _, ys1b, names1b = first_batch_abandoning()
+    assert names1b == names1
+    np.testing.assert_array_equal(ys1b, ys1)
+
+
 def test_device_prefetch_roundtrip():
     from maxsquareloss_tpu.data import device_prefetch
 
