@@ -56,6 +56,8 @@ class TrainConfig:
     lambda_target: float = 0.09
     ratio: float = 0.2                 # --IW_ratio
     threshold: float = 0.95            # guidance confidence threshold
+    guidance_mask: str = "ensemble"    # 'ensemble' | 'per_head_or' — the
+                                       # reference's exact mask is [UNVERIFIED]
 
     # data
     batch_size: int = 4
@@ -79,7 +81,6 @@ class TrainConfig:
     pretrained_ckpt_file: str | None = None
     continue_training: bool = False
     epoch_num: int = 100
-    save_inter_epoch: int = 1
     save_iter: int | None = None       # also checkpoint every N iterations
     tqdm: bool = True                  # progress bars (reference uses tqdm)
     validation_epoch: int = 1
@@ -110,6 +111,11 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--list_path", default=None,
                    help="split list file; defaults to <root>/<split>.txt")
     p.add_argument("--checkpoint_dir", default="./runs/default")
+    p.add_argument("--train_id", default=None,
+                   help="experiment tag appended to --checkpoint_dir "
+                        "(reference init_args derives the run dir from a "
+                        "train-id/tag — SURVEY.md §5.6); pass 'auto' to "
+                        "derive '<dataset>_<backbone>[_<target_mode>]'")
     p.add_argument("--pretrained_ckpt_file", default=None)
     p.add_argument("--continue_training", action="store_true")
     p.add_argument("--backbone", default="deeplabv2_multi")
@@ -163,6 +169,11 @@ def add_uda_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--lambda_target", type=float, default=0.09)
     p.add_argument("--IW_ratio", type=float, default=0.2)
     p.add_argument("--threshold", type=float, default=0.95)
+    p.add_argument("--guidance_mask", default="ensemble",
+                   choices=("ensemble", "per_head_or"),
+                   help="multi-level guidance confidence mask: ensemble-max "
+                        "> t, or either head's own max > t (the reference's "
+                        "exact condition is unverified — see docs/PARITY.md)")
     p.add_argument("--target_base_size", default="1024,512")
     p.add_argument("--target_crop_size", default="1024,512")
     return p
@@ -186,6 +197,16 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
     for k in ("base_size", "crop_size", "target_base_size", "target_crop_size"):
         if k in kv and kv[k] is not None:
             kv[k] = _size(kv[k])
+    train_id = getattr(args, "train_id", None)
+    if train_id:
+        if train_id == "auto":
+            parts = [kv.get("dataset", "gta5"), kv.get("backbone", "deeplabv2_multi")]
+            if getattr(args, "target_mode", None):
+                parts.append(args.target_mode)
+            train_id = "_".join(parts)
+        kv["checkpoint_dir"] = os.path.join(
+            kv.get("checkpoint_dir", "./runs/default"), train_id
+        )
     cfg = TrainConfig(**kv)
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     return cfg

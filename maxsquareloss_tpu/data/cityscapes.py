@@ -12,6 +12,7 @@ Host-side only (PIL/numpy); batching + device prefetch live in
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Sequence
 
@@ -151,7 +152,13 @@ class SegDataset:
         if self.cache_dir is None or (not self.training and self.full_res_labels):
             return self._load_image(img_path), self._load_mask(lab_path)
         w, h = self.cfg.base_size
-        key = f"{index:06d}_{w}x{h}.npz"
+        # Key on the resolved paths, not just the index: a regenerated or
+        # edited split list reusing the same cache_dir must not serve stale
+        # (image, label) pairs (ADVICE r1, low).
+        digest = hashlib.sha1(
+            f"{img_path}\0{lab_path}".encode()
+        ).hexdigest()[:12]
+        key = f"{index:06d}_{digest}_{w}x{h}.npz"
         path = os.path.join(self.cache_dir, key)
         if os.path.exists(path):
             z = np.load(path)

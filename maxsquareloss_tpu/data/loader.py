@@ -23,6 +23,10 @@ import jax
 import numpy as np
 
 
+# name yielded for batch-padding duplicates (labels are all-ignore)
+_PAD_SAMPLE_NAME = "<pad>"
+
+
 class SegDataLoader:
     """Iterates a SegDataset in shuffled batches of stacked numpy arrays.
 
@@ -101,7 +105,18 @@ class SegDataLoader:
                 refill()
                 if len(batch) == self.batch_size or (not futures and batch):
                     if len(batch) < self.batch_size and self.pad_last:
-                        batch += [batch[-1]] * (self.batch_size - len(batch))
+                        # Pad to the static batch shape by duplicating the
+                        # last image but with ALL-IGNORE labels, so padded
+                        # samples never reach the confusion matrix — the
+                        # reference evaluates each val sample exactly once
+                        # (ADVICE r1, low).
+                        x_last, y_last, _ = batch[-1]
+                        pad = (
+                            x_last,
+                            np.full_like(y_last, -1),
+                            _PAD_SAMPLE_NAME,
+                        )
+                        batch += [pad] * (self.batch_size - len(batch))
                     xs = np.stack([b[0] for b in batch])
                     ys = np.stack([b[1] for b in batch])
                     names = [b[2] for b in batch]

@@ -66,14 +66,17 @@ class SynthiaDataset(SegDataset):
             raw = cv2.imread(path, cv2.IMREAD_UNCHANGED)
             if raw is None:
                 raise OSError(f"cv2 failed to read {path}")
+            if raw.ndim == 3:
+                # The class id lives in the file's FIRST channel (R — what
+                # the reference's imageio PNG-FI [:, :, 0] reads). cv2
+                # returns BGR/BGRA, so R is index 2 in both layouts.
+                raw = raw[:, :, 2]
         except ImportError:  # pragma: no cover - cv2 is baked into this image
             import imageio
 
             raw = np.asarray(imageio.imread(path, format="PNG-FI"))
-        if raw.ndim == 3:
-            # 16-bit SYNTHIA label PNG: class id lives in channel 0 of the
-            # FreeImage read; cv2 returns BGRA order so channel -1 ≙ imageio 0.
-            raw = raw[:, :, -1] if raw.shape[2] == 4 else raw[:, :, 0]
+            if raw.ndim == 3:
+                raw = raw[:, :, 0]  # RGB(A) order: R is index 0
         # Clamp into LUT range then hand a PIL image to the shared transforms
         # (mode I;16 → NEAREST resize keeps exact ids).
         return Image.fromarray(raw.astype(np.int32), mode="I")

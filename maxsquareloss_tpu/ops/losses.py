@@ -172,19 +172,36 @@ def self_produced_guidance(
     prob_aux: jax.Array,
     threshold: float = 0.95,
     ignore_index: int = IGNORE_INDEX,
+    mask_mode: str = "ensemble",
 ) -> jax.Array:
     """Multi-level self-produced guidance pseudo-labels.
 
-    Ensemble probability ``(P_main + P_aux) / 2``; pseudo-label is the argmax
-    where the max ensemble probability exceeds ``threshold``, else ignore
+    Pseudo-label is the argmax of the ensemble probability
+    ``(P_main + P_aux) / 2`` where a confidence mask passes, else ignore
     (-1); detached. (Reference: tools/solve_gta5.py UDATrainer target branch,
     SURVEY.md C15 / §3.2.)
+
+    The reference's exact mask condition is [UNVERIFIED] (empty mount), so
+    both plausible variants are exposed (``--guidance_mask``):
+
+    - ``"ensemble"``: max ensemble probability > threshold (default; the
+      stricter condition — fewer pseudo-labels).
+    - ``"per_head_or"``: EITHER head's own max probability > threshold,
+      i.e. ``(max P_main > t) | (max P_aux > t)`` — the upstream
+      multi-level branch plausibly uses this (ADVICE r1, medium).
 
     Returns:
       (N, H, W) int32 pseudo-labels in [-1, C-1].
     """
     ens = (prob_main + prob_aux) / 2.0
-    maxprob = jnp.max(ens, axis=-1)
+    if mask_mode == "ensemble":
+        confident = jnp.max(ens, axis=-1) > threshold
+    elif mask_mode == "per_head_or":
+        confident = (jnp.max(prob_main, axis=-1) > threshold) | (
+            jnp.max(prob_aux, axis=-1) > threshold
+        )
+    else:
+        raise ValueError(f"unknown guidance mask_mode {mask_mode!r}")
     arg = jnp.argmax(ens, axis=-1).astype(jnp.int32)
-    label = jnp.where(maxprob > threshold, arg, jnp.int32(ignore_index))
+    label = jnp.where(confident, arg, jnp.int32(ignore_index))
     return jax.lax.stop_gradient(label)

@@ -111,7 +111,9 @@ def target_loss_fn(
     c = prob_main.shape[-1]
     label = None
     if prob_aux is not None:
-        label = self_produced_guidance(prob_main, prob_aux, cfg.threshold)
+        label = self_produced_guidance(
+            prob_main, prob_aux, cfg.threshold, mask_mode=cfg.guidance_mask
+        )
     metrics: dict[str, jax.Array] = {}
     mode = cfg.target_mode
     pallas_ok = cfg.use_pallas and logits_main is not None

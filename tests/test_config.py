@@ -60,3 +60,28 @@ def test_size_string_roundtrip(tmp_path):
     args = _parse(["--checkpoint_dir", str(tmp_path), "--target_base_size", "1024,512"])
     cfg = config_from_args(args)
     assert cfg.target_base_size == (1024, 512)
+
+
+def test_guidance_mask_flag(tmp_path):
+    args = _parse(["--checkpoint_dir", str(tmp_path), "--guidance_mask", "per_head_or"])
+    assert config_from_args(args).guidance_mask == "per_head_or"
+    assert TrainConfig().guidance_mask == "ensemble"
+
+
+def test_train_id_checkpoint_dir_shim(tmp_path):
+    """init_args convenience: run dir derived from a train-id/tag."""
+    import os
+
+    args = _parse(["--checkpoint_dir", str(tmp_path), "--train_id", "exp7"])
+    cfg = config_from_args(args)
+    assert cfg.checkpoint_dir == os.path.join(str(tmp_path), "exp7")
+    assert os.path.isdir(cfg.checkpoint_dir)
+
+    args = _parse([
+        "--checkpoint_dir", str(tmp_path), "--train_id", "auto",
+        "--dataset", "gta5", "--target_mode", "IW_maxsquare",
+    ])
+    cfg = config_from_args(args)
+    assert cfg.checkpoint_dir == os.path.join(
+        str(tmp_path), "gta5_deeplabv2_multi_IW_maxsquare"
+    )

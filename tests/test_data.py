@@ -163,6 +163,62 @@ def test_abandoned_loader_still_advances_epoch():
     np.testing.assert_array_equal(ys1b, ys1)
 
 
+def test_pad_last_labels_are_ignore():
+    """Batch-padding duplicates must not bias the confusion matrix: padded
+    samples carry all-ignore labels (ADVICE r1, low)."""
+    from maxsquareloss_tpu.data.loader import _PAD_SAMPLE_NAME
+
+    ds = SyntheticSegDataset(length=5, hw=(8, 8))
+    dl = SegDataLoader(
+        ds, batch_size=4, shuffle=False, num_workers=1,
+        drop_last=False, pad_last=True,
+    )
+    batches = list(dl)
+    assert len(batches) == 2
+    xs, ys, names = batches[-1]
+    assert xs.shape == (4, 8, 8, 3)
+    assert names[1:] == [_PAD_SAMPLE_NAME] * 3
+    assert (ys[1:] == -1).all()      # padded labels all-ignore
+    assert (ys[0] != -1).any()       # the real sample is intact
+
+    # end to end: the confusion matrix only counts the real sample
+    import jax.numpy as jnp
+
+    from maxsquareloss_tpu.metrics import confusion_matrix_update
+
+    pred = np.zeros((4, 8, 8), np.int32)
+    cm = np.asarray(confusion_matrix_update(jnp.asarray(ys), jnp.asarray(pred), 19))
+    assert cm.sum() == (ys[0] != -1).sum()
+
+
+def test_cache_key_tracks_paths(city_root, tmp_path):
+    """Editing the split list while reusing cache_dir must not serve stale
+    pairs (ADVICE r1, low: key formerly ignored the underlying paths)."""
+    root, list_file = city_root
+    cache = str(tmp_path / "cache")
+    os.makedirs(cache, exist_ok=True)
+    cfg = TransformConfig(base_size=(32, 16), crop_size=(32, 16), gaussian_blur=False)
+    ds = CityscapesDataset(
+        root, list_file, split="val", transform_cfg=cfg, cache_dir=cache
+    )
+    _, y_first, name_first = ds.get(0, np.random.default_rng(0))
+
+    # rewrite the list so index 0 now points at the OTHER image
+    lines = open(list_file).read().splitlines()
+    with open(list_file, "w") as f:
+        f.write("\n".join(reversed(lines)))
+    ds2 = CityscapesDataset(
+        root, list_file, split="val", transform_cfg=cfg, cache_dir=cache
+    )
+    _, y_swapped, name_swapped = ds2.get(0, np.random.default_rng(0))
+    assert name_swapped != name_first
+    assert not np.array_equal(y_swapped, y_first)
+    # oracle: same dataset without any cache
+    ds_nocache = CityscapesDataset(root, list_file, split="val", transform_cfg=cfg)
+    _, y_want, _ = ds_nocache.get(0, np.random.default_rng(0))
+    np.testing.assert_array_equal(y_swapped, y_want)
+
+
 def test_device_prefetch_roundtrip():
     from maxsquareloss_tpu.data import device_prefetch
 
@@ -173,6 +229,51 @@ def test_device_prefetch_roundtrip():
         assert xs.shape == (2, 8, 8, 3)
         n += 1
     assert n == 3
+
+
+@pytest.mark.parametrize("channels", [3, 4])
+def test_synthia_16bit_label_channel_consistency(tmp_path, rng, channels):
+    """All SYNTHIA 16-bit label decode paths must read the file's FIRST
+    channel (R) — the reference's imageio PNG-FI [:, :, 0] (ADVICE r1,
+    medium: cv2 BGR/BGRA order previously picked B or alpha)."""
+    cv2 = pytest.importorskip("cv2")
+    from maxsquareloss_tpu.data import hostops
+    from maxsquareloss_tpu.data.synthia import SynthiaDataset
+
+    ids = rng.integers(0, 23, size=(16, 32)).astype(np.uint16)  # class ids
+    junk = rng.integers(0, 65535, size=(16, 32, channels - 1)).astype(np.uint16)
+    # cv2.imwrite takes BGR(A) order; the class-id channel must land in the
+    # file's R slot → index 2 of the array handed to imwrite
+    bgr = np.zeros((16, 32, channels), np.uint16)
+    bgr[:, :, 2] = ids
+    bgr[:, :, 0] = junk[:, :, 0]
+    bgr[:, :, 1] = junk[:, :, 0]
+    if channels == 4:
+        bgr[:, :, 3] = junk[:, :, 1]  # alpha junk
+    path = str(tmp_path / "label.png")
+    assert cv2.imwrite(path, bgr)
+
+    ds = object.__new__(SynthiaDataset)
+    decoded = {}
+    decoded["cv2"] = np.asarray(
+        SegDatasetLoadMaskForced(ds, path, force_no_native=True)
+    )
+    if hostops.available():
+        decoded["native"] = np.asarray(ds._load_mask(path))
+    for name, got in decoded.items():
+        np.testing.assert_array_equal(got, ids.astype(np.int32), err_msg=name)
+
+
+def SegDatasetLoadMaskForced(ds, path, force_no_native=False):
+    """Call SynthiaDataset._load_mask with the native extension masked off."""
+    if not force_no_native:
+        return ds._load_mask(path)
+    from unittest import mock
+
+    from maxsquareloss_tpu.data import hostops
+
+    with mock.patch.object(hostops, "available", return_value=False):
+        return ds._load_mask(path)
 
 
 def test_decode_labels_palette():

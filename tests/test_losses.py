@@ -172,6 +172,30 @@ def test_self_produced_guidance(rng):
     assert lab.min() >= -1 and lab.max() < C
 
 
+def test_self_produced_guidance_per_head_or(rng):
+    """per_head_or masks where EITHER head's own max prob passes; it is a
+    strict superset of the ensemble mask (ADVICE r1: plausible upstream
+    semantics, exposed as --guidance_mask)."""
+    pm, _ = _softmax_probs(rng, sharp=6.0)
+    pa, _ = _softmax_probs(rng, sharp=6.0)
+    thr = 0.8
+    lab = np.asarray(
+        self_produced_guidance(
+            jnp.asarray(pm), jnp.asarray(pa), thr, mask_mode="per_head_or"
+        )
+    )
+    ens = (pm + pa) / 2.0
+    mask = (pm.max(axis=-1) > thr) | (pa.max(axis=-1) > thr)
+    want = np.where(mask, ens.argmax(axis=-1), -1)
+    np.testing.assert_array_equal(lab, want)
+    # superset property vs the ensemble mask
+    lab_ens = np.asarray(
+        self_produced_guidance(jnp.asarray(pm), jnp.asarray(pa), thr)
+    )
+    assert np.all((lab_ens == -1) | (lab == lab_ens))
+    assert (lab != -1).sum() >= (lab_ens != -1).sum()
+
+
 def test_losses_differentiable(rng):
     prob_logits = jnp.asarray(rng.standard_normal((1, 8, 8, C), dtype=np.float32))
 
