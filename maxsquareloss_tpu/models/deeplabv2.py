@@ -135,11 +135,22 @@ def init_deeplabv2(key: jax.Array, cfg: DeepLabV2Config) -> tuple[Params, Params
 
 
 def _bottleneck(
-    p: Params, f: Params, x: jax.Array, stride: int, dilation: int, s2b: bool = False
+    p: Params,
+    f: Params,
+    x: jax.Array,
+    stride: int,
+    dilation: int,
+    s2b: bool = False,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     residual = x
     y = conv2d(x, p["conv1"]["w"], stride=stride)
     y = jax.nn.relu(frozen_bn(y, **f["bn1"]))
+    if mask is not None:
+        # canvas mode: frozen-BN shifts repopulate the pad region after every
+        # 1x1 conv; re-zero it before the spatial conv so border reads stay
+        # exactly the zero padding the unpadded forward would see
+        y = y * mask.astype(y.dtype)
     y = conv2d(y, p["conv2"]["w"], padding=dilation, dilation=dilation, space_to_batch=s2b)
     y = jax.nn.relu(frozen_bn(y, **f["bn2"]))
     y = conv2d(y, p["conv3"]["w"])
@@ -150,15 +161,25 @@ def _bottleneck(
 
 
 def _stage(
-    ps: list, fs: list, x: jax.Array, stride: int, dilation: int, s2b: bool = False
+    ps: list,
+    fs: list,
+    x: jax.Array,
+    stride: int,
+    dilation: int,
+    s2b: bool = False,
+    mask: jax.Array | None = None,
 ) -> jax.Array:
     for bi, (p, f) in enumerate(zip(ps, fs)):
-        x = _bottleneck(p, f, x, stride if bi == 0 else 1, dilation, s2b)
+        x = _bottleneck(p, f, x, stride if bi == 0 else 1, dilation, s2b, mask)
     return x
 
 
-def _classifier(p: Params, x: jax.Array, s2b: bool = False) -> jax.Array:
+def _classifier(
+    p: Params, x: jax.Array, s2b: bool = False, mask: jax.Array | None = None
+) -> jax.Array:
     # V2-style ASPP: 4 parallel dilated 3x3 convs, summed.
+    if mask is not None:
+        x = x * mask.astype(x.dtype)
     out = None
     for conv, d in zip(p["convs"], ASPP_DILATIONS):
         y = conv2d(x, conv["w"], padding=d, dilation=d, bias=conv["b"], space_to_batch=s2b)
@@ -166,16 +187,89 @@ def _classifier(p: Params, x: jax.Array, s2b: bool = False) -> jax.Array:
     return out
 
 
+# ------------------------------------------------- masked-canvas helpers ----
+#
+# Exact unequal-shape batching (UDA concat at the real protocol crops,
+# SURVEY.md §3.2): pad every image onto a shared canvas and zero the pad
+# region before each spatial-reading op (3x3 convs, the stem maxpool, ASPP).
+# 1x1 convs and frozen BN act per pixel, so garbage they write into the pad
+# region never reaches a valid pixel once masked; at valid borders the convs
+# then read zeros — bit-identical to the zero padding of the unpadded
+# forward. The maxpool is exact too: inputs are post-ReLU (>= 0), so a
+# masked zero can tie but never beat a valid max.
+
+
+def _valid_sizes(hw: tuple[int, int]) -> dict[str, tuple[int, int]]:
+    """Feature-map extents of an (H, W) input at the three mask points.
+
+    Mirrors the stem arithmetic: conv7x7/2 p3 → ceil-mode maxpool3x3/2 p1 →
+    (later) the 1x1 stride-2 entering layer2. Everything after layer2 is
+    stride 1 (dilated), so 'os8' covers layers 2-4 and both ASPP heads.
+    """
+    import math as _math
+
+    h, w = hw
+
+    def conv1(v):  # k7 s2 p3
+        return (v + 2 * 3 - 7) // 2 + 1
+
+    def pool(v):  # k3 s2 p1, ceil_mode
+        return _math.ceil((v + 2 * 1 - 3) / 2) + 1
+
+    def stride2(v):  # k1 s2 p0 (layer2 first bottleneck conv1/downsample)
+        return (v - 1) // 2 + 1
+
+    h1, w1 = conv1(h), conv1(w)
+    h2, w2 = pool(h1), pool(w1)
+    h3, w3 = stride2(h2), stride2(w2)
+    return {"pool_in": (h1, w1), "os4": (h2, w2), "os8": (h3, w3)}
+
+
+def valid_logits_hw(hw: tuple[int, int]) -> tuple[int, int]:
+    """(H, W) of the logits a plain forward of an (H, W) input produces."""
+    return _valid_sizes(hw)["os8"]
+
+
+def make_canvas_masks(
+    canvas_hw: tuple[int, int],
+    groups: list[tuple[int, tuple[int, int]]],
+) -> dict[str, jax.Array] | None:
+    """Per-resolution 0/1 masks for a batch of padded groups.
+
+    Args:
+      canvas_hw: shared (H, W) canvas every image was top-left padded onto.
+      groups: [(n_images, valid_hw), ...] in batch order.
+
+    Returns None when every group fills the canvas (no masking needed).
+    """
+    if all(hw == tuple(canvas_hw) for _, hw in groups):
+        return None
+    canvas = _valid_sizes(tuple(canvas_hw))
+    masks: dict[str, jax.Array] = {}
+    for key in ("pool_in", "os4", "os8"):
+        ch, cw = canvas[key]
+        rows = []
+        for n, hw in groups:
+            vh, vw = _valid_sizes(tuple(hw))[key]
+            m = jnp.zeros((ch, cw), jnp.float32).at[:vh, :vw].set(1.0)
+            rows.append(jnp.broadcast_to(m, (n, ch, cw)))
+        masks[key] = jnp.concatenate(rows, axis=0)[..., None]  # (N, H, W, 1)
+    return masks
+
+
 def apply_deeplabv2(
     params: Params,
     frozen: Params,
     x: jax.Array,
     cfg: DeepLabV2Config,
+    masks: dict[str, jax.Array] | None = None,
 ) -> tuple[jax.Array | None, jax.Array]:
     """Forward pass.
 
     Args:
       x: (N, H, W, 3) images (already normalized by the data pipeline).
+      masks: optional masked-canvas masks from make_canvas_masks — exact
+        unequal-shape batching (pad region re-zeroed before spatial ops).
     Returns:
       (aux_logits_or_None, main_logits), both (N, H/8, W/8, num_classes) —
       callers upsample to label resolution with ops.resize.upsample_logits
@@ -184,7 +278,16 @@ def apply_deeplabv2(
     x = x.astype(cfg.compute_dtype)
     y = conv2d(x, params["conv1"]["w"], stride=2, padding=3)
     y = jax.nn.relu(frozen_bn(y, **frozen["bn1"]))
+    if masks is not None:
+        y = y * masks["pool_in"].astype(y.dtype)
     y = max_pool_ceil(y, window=3, stride=2, padding=1)
+
+    # mask resolution per stage: layer1 runs at OS4; layer2's first
+    # bottleneck strides to OS8 before its own 3x3, so layers 2-4 and the
+    # ASPP heads all mask at OS8
+    stage_masks = (None,) * 4 if masks is None else (
+        masks["os4"], masks["os8"], masks["os8"], masks["os8"]
+    )
 
     def stage_fn(li):
         def run(y):
@@ -195,6 +298,7 @@ def apply_deeplabv2(
                 LAYER_STRIDES[li],
                 LAYER_DILATIONS[li],
                 cfg.space_to_batch,
+                stage_masks[li],
             )
 
         return jax.checkpoint(run) if cfg.remat == "stages" else run
@@ -202,9 +306,14 @@ def apply_deeplabv2(
     y = stage_fn(0)(y)
     y = stage_fn(1)(y)
     y3 = stage_fn(2)(y)
-    aux = _classifier(params["layer5"], y3, cfg.space_to_batch) if cfg.multi_level else None
+    head_mask = None if masks is None else masks["os8"]
+    aux = (
+        _classifier(params["layer5"], y3, cfg.space_to_batch, head_mask)
+        if cfg.multi_level
+        else None
+    )
     y4 = stage_fn(3)(y3)
-    main = _classifier(params["layer6"], y4, cfg.space_to_batch)
+    main = _classifier(params["layer6"], y4, cfg.space_to_batch, head_mask)
     if aux is not None:
         aux = aux.astype(jnp.float32)
     return aux, main.astype(jnp.float32)

@@ -36,6 +36,8 @@ from maxsquareloss_tpu.models.deeplabv2 import (
     DeepLabV2Config,
     apply_deeplabv2,
     lr_mult_tree,
+    make_canvas_masks,
+    valid_logits_hw,
 )
 from maxsquareloss_tpu.ops.losses import (
     cross_entropy,
@@ -214,21 +216,43 @@ def make_uda_train_step(cfg: TrainConfig, frozen):
         lr_mults = lr_mult_tree(state.params)
 
         def loss_fn(params):
-            if cfg.concat_batches and xs.shape == xt.shape:
+            if cfg.concat_batches:
                 # frozen BN → no cross-batch coupling: one concatenated
-                # forward over [source; target] is bit-equivalent to two and
-                # runs bigger matmuls on the MXU
-                aux_all, main_all = apply_deeplabv2(
-                    params, frozen, jnp.concatenate([xs, xt], axis=0), mcfg
-                )
+                # forward over [source; target] is exactly equivalent to two
+                # and runs bigger matmuls on the MXU. Unequal crops (the real
+                # GTA5 protocol: 1280x640 source vs 1024x512 target) ride the
+                # exact masked-canvas path: pad onto a shared canvas, re-zero
+                # the pad region before every spatial op, slice the valid
+                # logits back out (models/deeplabv2.py canvas helpers).
                 n = xs.shape[0]
+                src_hw = (xs.shape[1], xs.shape[2])
+                tgt_hw = (xt.shape[1], xt.shape[2])
+                canvas = (max(src_hw[0], tgt_hw[0]), max(src_hw[1], tgt_hw[1]))
+
+                def to_canvas(img, hw):
+                    ph, pw = canvas[0] - hw[0], canvas[1] - hw[1]
+                    if ph or pw:
+                        img = jnp.pad(img, ((0, 0), (0, ph), (0, pw), (0, 0)))
+                    return img
+
+                x_all = jnp.concatenate(
+                    [to_canvas(xs, src_hw), to_canvas(xt, tgt_hw)], axis=0
+                )
+                masks = make_canvas_masks(
+                    canvas, [(n, src_hw), (xt.shape[0], tgt_hw)]
+                )
+                aux_all, main_all = apply_deeplabv2(
+                    params, frozen, x_all, mcfg, masks
+                )
+                svh, svw = valid_logits_hw(src_hw)
+                tvh, tvw = valid_logits_hw(tgt_hw)
                 out_hw = (ys.shape[1], ys.shape[2])
-                main_s = upsample_logits(main_all[:n], out_hw)
-                main_t = upsample_logits(main_all[n:], (xt.shape[1], xt.shape[2]))
+                main_s = upsample_logits(main_all[:n, :svh, :svw], out_hw)
+                main_t = upsample_logits(main_all[n:, :tvh, :tvw], tgt_hw)
                 aux_s = aux_t = None
                 if aux_all is not None:
-                    aux_s = upsample_logits(aux_all[:n], out_hw)
-                    aux_t = upsample_logits(aux_all[n:], (xt.shape[1], xt.shape[2]))
+                    aux_s = upsample_logits(aux_all[:n, :svh, :svw], out_hw)
+                    aux_t = upsample_logits(aux_all[n:, :tvh, :tvw], tgt_hw)
                 src_loss = cross_entropy(main_s, ys)
                 metrics = {"loss_source": src_loss}
                 if aux_s is not None:

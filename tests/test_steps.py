@@ -182,3 +182,57 @@ def test_concat_batches_step_equivalent(rng):
     )
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_masked_canvas_forward_exact(rng):
+    """Masked-canvas forward of a padded image == plain forward of the
+    unpadded image (exact unequal-shape batching, VERDICT r1 #4)."""
+    from maxsquareloss_tpu.models.deeplabv2 import (
+        apply_deeplabv2,
+        make_canvas_masks,
+        valid_logits_hw,
+    )
+
+    cfg = _small_cfg()
+    mcfg = model_config(cfg)
+    params, frozen = init_deeplabv2(jax.random.key(1), mcfg)
+    x = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    aux_ref, main_ref = apply_deeplabv2(params, frozen, x, mcfg)
+    vh, vw = valid_logits_hw((32, 64))
+    assert main_ref.shape[1:3] == (vh, vw)  # arithmetic matches the model
+
+    canvas = (40, 80)
+    x_pad = jnp.pad(x, ((0, 0), (0, 8), (0, 16), (0, 0)))
+    masks = make_canvas_masks(canvas, [(2, (32, 64))])
+    aux_c, main_c = apply_deeplabv2(params, frozen, x_pad, mcfg, masks)
+    np.testing.assert_allclose(
+        np.asarray(main_c[:, :vh, :vw]), np.asarray(main_ref), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux_c[:, :vh, :vw]), np.asarray(aux_ref), atol=1e-5
+    )
+
+
+def test_concat_batches_unequal_crops_equivalent(rng):
+    """concat_batches at the real protocol's UNEQUAL crops (source larger
+    than target) must produce the identical update as separate forwards —
+    the r1 implementation silently fell back (VERDICT r1 weak #4)."""
+    cfg_a = _small_cfg(target_mode="IW_maxsquare", threshold=0.5)
+    cfg_b = _small_cfg(
+        target_mode="IW_maxsquare", threshold=0.5, concat_batches=True
+    )
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg_a))
+    # proportions of the GTA5 protocol: src 1280x640 vs tgt 1024x512
+    xs = jnp.asarray(rng.normal(0, 1, (2, 40, 80, 3)).astype(np.float32))
+    ys = jnp.asarray(rng.integers(-1, 19, (2, 40, 80)).astype(np.int32))
+    xt = jnp.asarray(rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32))
+    sa = make_train_state(jax.tree.map(jnp.array, params))
+    sb = make_train_state(jax.tree.map(jnp.array, params))
+    sa, ma = make_uda_train_step(cfg_a, frozen)(sa, xs, ys, xt)
+    sb, mb = make_uda_train_step(cfg_b, frozen)(sb, xs, ys, xt)
+    for k in ("loss", "loss_source", "loss_target_raw"):
+        assert float(np.asarray(ma[k])) == pytest.approx(
+            float(np.asarray(mb[k])), rel=1e-4, abs=1e-6
+        ), k
+    for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
