@@ -89,6 +89,12 @@ class TrainConfig:
     profile: bool = False              # capture a jax.profiler trace of steps 2-5
     debug_nans: bool = False           # jax_debug_nans sanitizer mode
 
+    # multi-host (SURVEY.md §5.8: DCN axis across processes; on TPU pods
+    # these are auto-detected and can stay None)
+    coordinator_address: str | None = None
+    num_processes: int | None = None
+    process_id: int | None = None
+
     @property
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
@@ -119,6 +125,9 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--pretrained_ckpt_file", default=None)
     p.add_argument("--continue_training", action="store_true")
     p.add_argument("--backbone", default="deeplabv2_multi")
+    p.add_argument("--blocks", default="3,4,23,3",
+                   help="ResNet stage depths (default R101; smaller values "
+                        "for CI/smoke runs, e.g. '1,1,2,1')")
     p.add_argument("--num_classes", type=int, default=19)
     p.add_argument("--multi", type=str2bool, default=True)
     p.add_argument("--freeze_bn", type=str2bool, default=True)
@@ -155,6 +164,13 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the first steps")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (sanitizer mode)")
+    p.add_argument("--coordinator_address", default=None,
+                   help="multi-host: ip:port of process 0 (TPU pods "
+                        "auto-detect; leave unset for single-host)")
+    p.add_argument("--num_processes", type=int, default=None,
+                   help="multi-host: total process count")
+    p.add_argument("--process_id", type=int, default=None,
+                   help="multi-host: this process's index")
     return p
 
 
@@ -197,6 +213,8 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
     for k in ("base_size", "crop_size", "target_base_size", "target_crop_size"):
         if k in kv and kv[k] is not None:
             kv[k] = _size(kv[k])
+    if isinstance(kv.get("blocks"), str):
+        kv["blocks"] = tuple(int(v) for v in kv["blocks"].split(","))
     train_id = getattr(args, "train_id", None)
     if train_id:
         if train_id == "auto":

@@ -43,6 +43,8 @@ class SegDataLoader:
         seed: int = 0,
         drop_last: bool = True,
         pad_last: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -51,11 +53,20 @@ class SegDataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.pad_last = pad_last
+        # multi-host: each process reads a disjoint, equal-length slice of
+        # the (identically seeded) shuffled order, so processes stay in
+        # lockstep on iteration count (SURVEY.md §5.8 / §7 step 6)
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
         self.epoch = 0
+
+    def _shard_len(self) -> int:
+        return len(self.dataset) // self.shard_count if self.shard_count > 1 \
+            else len(self.dataset)
 
     @property
     def num_iterations(self) -> int:
-        n = len(self.dataset)
+        n = self._shard_len()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -81,6 +92,9 @@ class SegDataLoader:
         epoch = self.epoch
         self.epoch = epoch + 1
         order = self._order(epoch)
+        if self.shard_count > 1:
+            per = len(order) // self.shard_count  # equal across processes
+            order = order[self.shard_index::self.shard_count][:per]
         n = len(order)
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         order = order[:limit]
@@ -139,9 +153,15 @@ def device_prefetch(iterator, sharding=None, buffer_size: int = 2):
     lock = threading.Lock()
     it = iter(iterator)
 
+    multiprocess = jax.process_count() > 1
+
     def put(batch):
         def to_dev(x):
             if isinstance(x, np.ndarray):
+                if sharding is not None and multiprocess:
+                    # each process contributes its local slice of the
+                    # global batch (loaders are sharded per process)
+                    return jax.make_array_from_process_local_data(sharding, x)
                 return jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
             return x
         return tuple(to_dev(x) for x in batch)

@@ -33,8 +33,13 @@ def data_parallel_mesh(devices=None) -> Mesh:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) dim across the data axis."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Shard the leading (batch) dim across ALL mesh axes.
+
+    For the 1-D local mesh this is P('data'); for the multi-host
+    (dcn, ici) mesh it flattens both axes onto the batch dim — pure
+    hierarchical data parallelism (SURVEY.md §5.8).
+    """
+    return NamedSharding(mesh, P(mesh.axis_names))
 
 
 def replicate(mesh: Mesh) -> NamedSharding:

@@ -33,6 +33,24 @@ def _to_host(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+# One long-lived checkpointer so saves can complete in the background while
+# training continues (§5.3: async checkpointing for preemption resilience).
+_CKPT: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPT
+    if _CKPT is None:
+        _CKPT = ocp.StandardCheckpointer()
+    return _CKPT
+
+
+def wait_for_saves():
+    """Block until any in-flight async save has committed."""
+    if _CKPT is not None:
+        _CKPT.wait_until_finished()
+
+
 def save_checkpoint(
     checkpoint_dir: str,
     state: TrainState,
@@ -40,8 +58,15 @@ def save_checkpoint(
     epoch: int,
     best_miou: float,
     is_best: bool = False,
+    wait: bool = False,
 ):
-    """Write latest (and optionally best) checkpoint atomically."""
+    """Write latest (and optionally best) checkpoint atomically.
+
+    The write is ASYNC by default: the payload is snapshotted to host
+    memory up front, the previous in-flight save (if any) is drained, and
+    the new save commits in the background while training continues. Pass
+    ``wait=True`` (or call wait_for_saves) to block until durable.
+    """
     payload = {
         "params": _to_host(state.params),
         "momentum": _to_host(state.opt.momentum),
@@ -51,16 +76,19 @@ def save_checkpoint(
         "epoch": int(epoch),
         "best_miou": float(best_miou),
     }
-    ckpt = ocp.StandardCheckpointer()
+    ckpt = _checkpointer()
+    ckpt.wait_until_finished()  # at most one save in flight
     path = os.path.abspath(os.path.join(checkpoint_dir, LATEST))
     ckpt.save(path, payload, force=True)
     if is_best:
         ckpt.save(os.path.abspath(os.path.join(checkpoint_dir, BEST)), payload, force=True)
-    ckpt.wait_until_finished()
+    if wait:
+        ckpt.wait_until_finished()
 
 
 def load_checkpoint(path: str) -> dict:
     """Load a checkpoint directory written by save_checkpoint."""
+    wait_for_saves()  # a resume racing an in-flight save must see it land
     ckpt = ocp.StandardCheckpointer()
     return ckpt.restore(os.path.abspath(path))
 

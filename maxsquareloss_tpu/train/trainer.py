@@ -61,8 +61,16 @@ class Trainer:
             enable_debug(nans=True)
         self.train_loader = train_loader
         self.val_loader = val_loader
-        self.logger = logger or setup_logger(cfg.checkpoint_dir)
-        self.writer = writer or SummaryWriter(cfg.checkpoint_dir)
+        self.is_lead = jax.process_index() == 0
+        self.logger = logger or setup_logger(cfg.checkpoint_dir, file=self.is_lead)
+        if writer is not None:
+            self.writer = writer
+        elif self.is_lead:
+            self.writer = SummaryWriter(cfg.checkpoint_dir)
+        else:
+            from maxsquareloss_tpu.utils.logging import NullWriter
+
+            self.writer = NullWriter()
         self.synthia_protocol = synthia_protocol
         self.num_eval_classes = num_eval_classes or cfg.num_classes
 
@@ -70,7 +78,16 @@ class Trainer:
             params, frozen = init_deeplabv2(
                 jax.random.key(cfg.seed), model_config(cfg)
             )
-        self.mesh = data_parallel_mesh() if cfg.data_parallel else None
+        if not cfg.data_parallel:
+            self.mesh = None
+        elif jax.process_count() > 1:
+            # multi-host: (dcn, ici) mesh over ALL global devices; batches
+            # sharded over both axes, params replicated (SURVEY.md §5.8)
+            from maxsquareloss_tpu.parallel.multihost import hierarchical_dp_mesh
+
+            self.mesh = hierarchical_dp_mesh()
+        else:
+            self.mesh = data_parallel_mesh()
         if self.mesh is not None:
             params = replicate_tree(self.mesh, params)
             frozen = replicate_tree(self.mesh, frozen)
@@ -153,7 +170,9 @@ class Trainer:
             )
 
     def save_checkpoint(self, is_best: bool = False, mid_epoch: bool = False):
-        # records COMPLETED epochs; a mid-epoch save restarts its epoch on resume
+        # records COMPLETED epochs; a mid-epoch save restarts its epoch on
+        # resume. ALL processes must call this: orbax synchronizes across
+        # hosts internally (the primary writes, the rest barrier).
         completed = self.current_epoch if mid_epoch else self.current_epoch + 1
         ckpt_lib.save_checkpoint(
             self.cfg.checkpoint_dir,
@@ -182,6 +201,7 @@ class Trainer:
                 self.save_checkpoint()
             if int(np.asarray(self.state.iteration)) >= stop_iter:
                 break
+        ckpt_lib.wait_for_saves()  # drain the async checkpoint pipeline
         self.writer.flush()
 
     def train_one_epoch(self):
@@ -251,12 +271,16 @@ class Trainer:
         """Cityscapes-style validation → mIoU (SURVEY.md §3.3)."""
         ev = Eval(self.num_eval_classes)
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
+        # val preview images index into the batch-sharded global array —
+        # only fully addressable single-process; the CM (replicated) is the
+        # metric and works everywhere
+        show_images = self.cfg.show_num_images if jax.process_count() == 1 else 0
         shown = 0
         it = int(np.asarray(self.state.iteration))
         for xs, ys, names in device_prefetch(iter(self.val_loader), sharding=sharding):
             cm, argpred = self.eval_step(self.state.params, xs, ys)
             ev.add_confusion_matrix(np.asarray(cm))
-            if shown < self.cfg.show_num_images:
+            if shown < show_images:
                 pred_np = np.asarray(argpred[0])
                 self.writer.add_image(
                     f"val/pred_{shown}", decode_labels(pred_np)[0] / 255.0, it

@@ -15,18 +15,23 @@ import sys
 import time
 
 
-def setup_logger(checkpoint_dir: str, name: str = "maxsquareloss_tpu") -> logging.Logger:
+def setup_logger(
+    checkpoint_dir: str, name: str = "maxsquareloss_tpu", file: bool = True
+) -> logging.Logger:
+    """``file=False`` gives a console-only logger (non-lead processes in
+    multi-host runs share the checkpoint dir; only process 0 owns the file)."""
     os.makedirs(checkpoint_dir, exist_ok=True)
     logger = logging.getLogger(name)
     logger.setLevel(logging.INFO)
     logger.propagate = False  # avoid duplicate lines via the root logger
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s %(levelname)s %(message)s")
-    fh = logging.FileHandler(os.path.join(checkpoint_dir, "train_log.txt"))
-    fh.setFormatter(fmt)
+    if file:
+        fh = logging.FileHandler(os.path.join(checkpoint_dir, "train_log.txt"))
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
     sh = logging.StreamHandler(sys.stdout)
     sh.setFormatter(fmt)
-    logger.addHandler(fh)
     logger.addHandler(sh)
     return logger
 
@@ -78,3 +83,20 @@ class SummaryWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullWriter:
+    """No-op writer for non-lead processes in multi-host runs (metrics are
+    replicated, so only process 0 records them)."""
+
+    def add_scalar(self, tag: str, value, step: int):
+        pass
+
+    def add_image(self, tag: str, img_hwc, step: int):
+        pass
+
+    def flush(self):
+        pass
+
+    def close(self):
+        pass

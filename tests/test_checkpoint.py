@@ -29,7 +29,11 @@ def test_orbax_roundtrip(tmp_path, rng):
         iteration=jnp.asarray(42, jnp.int32),
         opt=state.opt._replace(initialized=jnp.asarray(True)),
     )
-    ckpt_lib.save_checkpoint(str(tmp_path), state, frozen, epoch=7, best_miou=0.123, is_best=True)
+    # saves are async by default; wait=True blocks until durable
+    ckpt_lib.save_checkpoint(
+        str(tmp_path), state, frozen, epoch=7, best_miou=0.123, is_best=True,
+        wait=True,
+    )
     assert os.path.isdir(tmp_path / ckpt_lib.LATEST)
     assert os.path.isdir(tmp_path / ckpt_lib.BEST)
 

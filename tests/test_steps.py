@@ -129,6 +129,56 @@ def test_bfloat16_step_runs(rng):
     assert jax.tree.leaves(state.params)[0].dtype == jnp.float32
 
 
+@pytest.mark.slow
+def test_bfloat16_trajectory_tracks_fp32(rng):
+    """50-step UDA trajectory divergence bound bf16 vs fp32 (VERDICT r1 #3):
+    the bf16 champion throughput number is only a legitimate headline if
+    bf16 training follows the fp32 (parity-dtype) trajectory. Bound is
+    asserted here and documented in BASELINE.md."""
+    params, frozen = init_deeplabv2(
+        jax.random.key(0), model_config(_small_cfg())
+    )
+    batches = [
+        (
+            rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32),
+            rng.integers(-1, 19, (2, 32, 64)).astype(np.int32),
+            rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32),
+        )
+        for _ in range(50)
+    ]
+
+    def run(dtype):
+        cfg = _small_cfg(
+            target_mode="IW_maxsquare", threshold=0.5, compute_dtype=dtype
+        )
+        step = make_uda_train_step(cfg, frozen)
+        state = make_train_state(jax.tree.map(jnp.array, params))
+        losses = []
+        for xs, ys, xt in batches:
+            state, m = step(
+                state, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt)
+            )
+            losses.append(float(np.asarray(m["loss"])))
+            # mixed-precision audit: losses must be computed in fp32 even
+            # under bf16 compute (the model returns fp32 logits)
+            assert m["loss"].dtype == jnp.float32
+        return np.asarray(losses), state
+
+    fp32, state32 = run("float32")
+    bf16, state16 = run("bfloat16")
+    rel = np.abs(bf16 - fp32) / np.maximum(np.abs(fp32), 1e-3)
+    # documented bound: per-step relative loss deviation < 2%, mean < 1%
+    assert rel.max() < 0.02, f"max rel divergence {rel.max():.4f}"
+    assert rel.mean() < 0.01, f"mean rel divergence {rel.mean():.4f}"
+    # parameters stay fp32 and close after 50 steps
+    for a, b in zip(jax.tree.leaves(state32.params), jax.tree.leaves(state16.params)):
+        assert a.dtype == b.dtype == jnp.float32
+    flat32 = np.concatenate([np.asarray(a).ravel() for a in jax.tree.leaves(state32.params)])
+    flat16 = np.concatenate([np.asarray(b).ravel() for b in jax.tree.leaves(state16.params)])
+    denom = float(np.linalg.norm(flat32))
+    assert float(np.linalg.norm(flat16 - flat32)) / denom < 5e-3
+
+
 def test_uda_trajectory_matches_torch(rng):
     """6-step UDA loss trajectory parity vs the torch reference loop:
     source CE + IW max-square with ensemble guidance + aux guidance CE,

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import os
 
+import jax
+
 from maxsquareloss_tpu.config import TrainConfig
 from maxsquareloss_tpu.data import (
     CityscapesDataset,
@@ -85,12 +87,29 @@ def make_loader(
         transform_cfg=transform_cfg(cfg, target=target),
         **dataset_kw,
     )
+    # multi-host: cfg.batch_size is the GLOBAL batch; each process loads a
+    # disjoint shard of size batch/process_count (SURVEY.md §5.8)
+    procs = jax.process_count()
+    assert cfg.batch_size % procs == 0, (
+        f"global batch {cfg.batch_size} not divisible by {procs} processes"
+    )
     return SegDataLoader(
         ds,
-        batch_size=cfg.batch_size,
+        batch_size=cfg.batch_size // procs,
         shuffle=split == "train",
         num_workers=cfg.num_workers,
         seed=cfg.seed,
         drop_last=split == "train",
         pad_last=split != "train",
+        shard_index=jax.process_index(),
+        shard_count=procs,
+    )
+
+
+def maybe_init_distributed(cfg: TrainConfig):
+    """Multi-host bring-up (must run before any other jax device use)."""
+    from maxsquareloss_tpu.parallel.multihost import initialize_distributed
+
+    initialize_distributed(
+        cfg.coordinator_address, cfg.num_processes, cfg.process_id
     )

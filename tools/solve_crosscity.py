@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from maxsquareloss_tpu.config import add_train_args, add_uda_train_args, config_from_args
 from maxsquareloss_tpu.data.crosscity import CITIES
 from maxsquareloss_tpu.train.uda_trainer import UDATrainer
-from tools.common import default_paths, make_loader
+from tools.common import default_paths, make_loader, maybe_init_distributed
 
 
 def main(argv=None):
@@ -31,6 +31,7 @@ def main(argv=None):
     parser.set_defaults(num_classes=13, class_13=True)
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    maybe_init_distributed(cfg)
 
     paths = default_paths(args.data_root_path)
     cs, nthu = paths["cityscapes"], paths["crosscity"]

@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from maxsquareloss_tpu.config import add_train_args, add_uda_train_args, config_from_args
 from maxsquareloss_tpu.train.uda_trainer import UDATrainer
-from tools.common import default_paths, make_loader
+from tools.common import default_paths, make_loader, maybe_init_distributed
 
 
 def build_uda_trainer(args, cfg):
@@ -61,6 +61,7 @@ def main(argv=None):
     add_uda_train_args(parser)
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    maybe_init_distributed(cfg)
     trainer = build_uda_trainer(args, cfg)
     trainer.main()
 

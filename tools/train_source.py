@@ -19,7 +19,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from maxsquareloss_tpu.config import add_train_args, config_from_args
 from maxsquareloss_tpu.train.trainer import Trainer
-from tools.common import default_paths, make_loader
+from tools.common import default_paths, make_loader, maybe_init_distributed
 
 
 def main(argv=None):
@@ -27,6 +27,7 @@ def main(argv=None):
     add_train_args(parser)
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    maybe_init_distributed(cfg)
 
     paths = default_paths(args.data_root_path)[cfg.dataset]
     train_list = args.list_path or paths["train"]
