@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 
 from maxsquareloss_tpu.models.layers import (
+    aspp_sum,
     classifier_normal,
     conv2d,
     frozen_bn,
@@ -177,9 +178,19 @@ def _stage(
 def _classifier(
     p: Params, x: jax.Array, s2b: bool = False, mask: jax.Array | None = None
 ) -> jax.Array:
-    # V2-style ASPP: 4 parallel dilated 3x3 convs, summed.
+    # V2-style ASPP: 4 parallel dilated 3x3 convs, summed. Default path is
+    # the MXU-optimized exact rewrite (layers.aspp_sum: one fat matmul +
+    # shifted accumulation fwd, conv adjoints bwd); s2b keeps the legacy
+    # per-conv loop.
     if mask is not None:
         x = x * mask.astype(x.dtype)
+    if not s2b:
+        return aspp_sum(
+            x,
+            [conv["w"] for conv in p["convs"]],
+            [conv["b"] for conv in p["convs"]],
+            ASPP_DILATIONS,
+        )
     out = None
     for conv, d in zip(p["convs"], ASPP_DILATIONS):
         y = conv2d(x, conv["w"], padding=d, dilation=d, bias=conv["b"], space_to_batch=s2b)

@@ -115,6 +115,43 @@ def test_init_structure_matches_converted(rng):
         assert a.shape == b.shape
 
 
+def test_aspp_sum_matches_conv_formulation(rng):
+    """MXU-optimized ASPP (matmul fwd + conv adjoints) == naive summed
+    dilated convs, values AND gradients (exact linear rearrangement)."""
+    import jax
+    import jax.numpy as jnp
+
+    from maxsquareloss_tpu.models.deeplabv2 import ASPP_DILATIONS
+    from maxsquareloss_tpu.models.layers import (
+        _aspp_conv_reference,
+        aspp_sum,
+    )
+
+    x = jnp.asarray(rng.normal(0, 1, (2, 17, 33, 64)).astype(np.float32))
+    ws = tuple(
+        jnp.asarray(rng.normal(0, 0.01, (3, 3, 64, 19)).astype(np.float32))
+        for _ in ASPP_DILATIONS
+    )
+    bs = tuple(
+        jnp.asarray(rng.normal(0, 0.01, (19,)).astype(np.float32))
+        for _ in ASPP_DILATIONS
+    )
+    ref = _aspp_conv_reference(x, ws, bs, ASPP_DILATIONS)
+    got = aspp_sum(x, list(ws), list(bs), ASPP_DILATIONS)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def loss_fast(x, ws, bs):
+        return jnp.sum(jnp.square(aspp_sum(x, list(ws), list(bs), ASPP_DILATIONS)))
+
+    def loss_ref(x, ws, bs):
+        return jnp.sum(jnp.square(_aspp_conv_reference(x, ws, bs, ASPP_DILATIONS)))
+
+    g_fast = jax.grad(loss_fast, argnums=(0, 1, 2))(x, ws, bs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(x, ws, bs)
+    for a, b in zip(jax.tree.leaves(g_fast), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5)
+
+
 def test_lr_mult_tree():
     params, _ = init_deeplabv2(jax.random.key(0), DeepLabV2Config(blocks=SMALL))
     mults = lr_mult_tree(params)
