@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import struct
 from typing import Sequence
 
 import numpy as np
@@ -40,6 +41,22 @@ CITYSCAPES_ID_TO_TRAINID = {
 # classes NOT in the subset are mapped to ignore when class_16/class_13 is set.
 TRAINID_SET_16 = [0, 1, 2, 3, 4, 5, 6, 7, 8, 10, 11, 12, 13, 15, 17, 18]
 TRAINID_SET_13 = [0, 1, 2, 6, 7, 8, 10, 11, 12, 13, 15, 17, 18]
+
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_size(path: str) -> tuple[int, int] | None:
+    """(W, H) from the PNG IHDR header — 24 bytes read, no decode."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(24)
+    except OSError:
+        return None
+    if len(head) == 24 and head[:8] == _PNG_MAGIC and head[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", head[16:24])
+        return (int(w), int(h))
+    return None
 
 
 def _subset_filter_lut(keep: Sequence[int], relabel: bool) -> np.ndarray:
@@ -131,6 +148,12 @@ class SegDataset:
         return Image.open(path).convert("RGB")
 
     def _load_mask(self, path: str) -> Image.Image:
+        """→ PIL image of RAW label ids (remapped late, in get()).
+
+        Raw uint8 stays cheap through the PIL NEAREST resize; remap-early
+        (int32 'I' masks through the transforms) measured ~15% slower on
+        the train pipeline. The fused decode+remap native pass is used
+        where no resize follows — see _fused_val_sample."""
         from maxsquareloss_tpu.data import hostops
 
         if path.endswith(".png") and hostops.available():
@@ -176,19 +199,52 @@ class SegDataset:
         os.replace(tmp, path)
         return img, mask
 
+    def _fused_val_sample(self, img_path: str, lab_path: str):
+        """Exact fully-fused val fast path (native/hostops.cpp).
+
+        When the PNGs are already at base_size (checked via an IHDR header
+        peek — no decode), the val transform is the identity, so the sample
+        is exactly decode+normalize (image) and decode+remap (label), each
+        one fused C++ pass. Returns (x, y) or None to take the general path.
+        """
+        from maxsquareloss_tpu.data import hostops
+        from maxsquareloss_tpu.data.palette import IMG_MEAN
+
+        if (
+            self.training
+            or self.full_res_labels
+            or not self.cfg.numpy_transform
+            or not hostops.available()
+            or not img_path.endswith(".png")
+            or not lab_path.endswith(".png")
+        ):
+            return None
+        size = tuple(self.cfg.base_size)
+        if _png_size(img_path) != size or _png_size(lab_path) != size:
+            return None
+        with open(img_path, "rb") as f:
+            x = hostops.decode_normalize_bgr(f.read(), IMG_MEAN)
+        with open(lab_path, "rb") as f:
+            y = hostops.decode_remap(f.read(), self.lut)
+        return x, y
+
     def get(self, index: int, rng: np.random.Generator):
         """→ (image (H,W,3) float32, label (H,W) int32, item_name)."""
         item = self.items[index]
-        img_path, _ = self._pair_paths(item)
-        img, mask = self._load_pair(index)
-        if self.training:
-            img, mask = train_sync_transform(img, mask, self.cfg, rng)
+        img_path, lab_path = self._pair_paths(item)
+        fused = self._fused_val_sample(img_path, lab_path)
+        if fused is not None:
+            x, y = fused
         else:
-            img, mask = val_sync_transform(
-                img, mask, self.cfg, full_res_labels=self.full_res_labels
-            )
-        x = img_transform(img, self.cfg.numpy_transform)
-        y = mask_transform(mask, self.lut)
+            img, mask = self._load_pair(index)
+            if self.training:
+                img, mask = train_sync_transform(img, mask, self.cfg, rng)
+            else:
+                img, mask = val_sync_transform(
+                    img, mask, self.cfg, full_res_labels=self.full_res_labels
+                )
+            x = img_transform(img, self.cfg.numpy_transform)
+            y = mask_transform(mask, self.lut)
         if self.class_filter is not None:
             y = self.class_filter[np.clip(y + 1, 0, 19)]
         name = os.path.splitext(os.path.basename(img_path))[0]

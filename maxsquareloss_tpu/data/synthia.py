@@ -50,6 +50,7 @@ class SynthiaDataset(SegDataset):
         )
 
     def _load_mask(self, path: str):
+        """→ PIL 'I' of RAW SYNTHIA class ids (remapped late, in get())."""
         from maxsquareloss_tpu.data import hostops
 
         if hostops.available():
@@ -77,6 +78,5 @@ class SynthiaDataset(SegDataset):
             raw = np.asarray(imageio.imread(path, format="PNG-FI"))
             if raw.ndim == 3:
                 raw = raw[:, :, 0]  # RGB(A) order: R is index 0
-        # Clamp into LUT range then hand a PIL image to the shared transforms
-        # (mode I;16 → NEAREST resize keeps exact ids).
+        # mode 'I' keeps exact ids through the NEAREST resize.
         return Image.fromarray(raw.astype(np.int32), mode="I")

@@ -254,6 +254,7 @@ def test_synthia_16bit_label_channel_consistency(tmp_path, rng, channels):
     assert cv2.imwrite(path, bgr)
 
     ds = object.__new__(SynthiaDataset)
+    want = ids.astype(np.int32)  # _load_mask returns raw class ids
     decoded = {}
     decoded["cv2"] = np.asarray(
         SegDatasetLoadMaskForced(ds, path, force_no_native=True)
@@ -261,7 +262,7 @@ def test_synthia_16bit_label_channel_consistency(tmp_path, rng, channels):
     if hostops.available():
         decoded["native"] = np.asarray(ds._load_mask(path))
     for name, got in decoded.items():
-        np.testing.assert_array_equal(got, ids.astype(np.int32), err_msg=name)
+        np.testing.assert_array_equal(got, want, err_msg=name)
 
 
 def SegDatasetLoadMaskForced(ds, path, force_no_native=False):
