@@ -59,6 +59,13 @@ class SegDataLoader:
         self.shard_index = shard_index
         self.shard_count = max(1, shard_count)
         self.epoch = 0
+        self._skip_batches = 0
+
+    def set_skip(self, n_batches: int):
+        """Skip the first n batches of the NEXT epoch only (mid-epoch
+        resume: same epoch → same shuffle + same per-sample aug RNG, so
+        skipping reproduces the interrupted epoch's exact tail)."""
+        self._skip_batches = int(n_batches)
 
     def _shard_len(self) -> int:
         return len(self.dataset) // self.shard_count if self.shard_count > 1 \
@@ -98,6 +105,10 @@ class SegDataLoader:
         n = len(order)
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         order = order[:limit]
+        skip = self._skip_batches
+        self._skip_batches = 0
+        if skip:
+            order = order[skip * self.batch_size:]
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             # keep ~2 batches of samples in flight
             window = self.batch_size * 2 + self.num_workers

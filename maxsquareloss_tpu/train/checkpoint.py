@@ -59,6 +59,7 @@ def save_checkpoint(
     best_miou: float,
     is_best: bool = False,
     wait: bool = False,
+    epoch_batch: int = 0,
 ):
     """Write latest (and optionally best) checkpoint atomically.
 
@@ -74,6 +75,9 @@ def save_checkpoint(
         "frozen": _to_host(frozen),
         "iteration": int(np.asarray(state.iteration)),
         "epoch": int(epoch),
+        # batches already consumed within `epoch` (mid-epoch saves); resume
+        # skips this many batches of the SAME epoch → exact data-order resume
+        "epoch_batch": int(epoch_batch),
         "best_miou": float(best_miou),
     }
     ckpt = _checkpointer()
@@ -93,8 +97,13 @@ def load_checkpoint(path: str) -> dict:
     return ckpt.restore(os.path.abspath(path))
 
 
-def restore_train_state(payload: dict) -> tuple[TrainState, Any, int, float]:
-    """payload → (TrainState, frozen, epoch, best_miou)."""
+def restore_train_state(
+    payload: dict,
+) -> tuple[TrainState, Any, int, float]:
+    """payload → (TrainState, frozen, epoch, best_miou).
+
+    Mid-epoch position is in ``payload['epoch_batch']`` (0 for epoch-end
+    checkpoints and pre-round-2 checkpoints)."""
     import jax.numpy as jnp
 
     state = TrainState(

@@ -101,11 +101,23 @@ class Trainer:
 
         self.current_epoch = 0
         self.best_miou = 0.0
+        self._epoch_batch = 0       # batches consumed in the current epoch
+        self._resume_skip = 0       # batches to skip on the next epoch (resume)
 
     # hooks for UDATrainer -------------------------------------------------
 
     def _make_train_step(self):
         return make_supervised_train_step(self.cfg, self.frozen)
+
+    def _consume_resume_skip(self, *loaders):
+        """Mid-epoch resume: make the next epoch start at the saved batch
+        offset (same epoch → same shuffle/augs → exact tail)."""
+        skip, self._resume_skip = self._resume_skip, 0
+        self._epoch_batch = skip
+        if skip:
+            for loader in loaders:
+                if hasattr(loader, "set_skip"):
+                    loader.set_skip(skip)
 
     def _epoch_batches(self):
         if hasattr(self.train_loader, "set_epoch"):
@@ -113,6 +125,7 @@ class Trainer:
             # loop can abandon a loader mid-iteration, and resume must
             # restart the epoch with the same draw (ADVICE r1, high).
             self.train_loader.set_epoch(self.current_epoch)
+        self._consume_resume_skip(self.train_loader)
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         return device_prefetch(iter(self.train_loader), sharding=sharding)
 
@@ -165,14 +178,17 @@ class Trainer:
             self.eval_step = make_eval_step(self.cfg, self.frozen, self.num_eval_classes)
             if self.cfg.continue_training:
                 self.current_epoch, self.best_miou = epoch, best
+                self._resume_skip = int(payload.get("epoch_batch", 0))
             self.logger.info(
                 f"loaded checkpoint {path} (epoch {epoch}, best mIoU {best:.4f})"
             )
 
     def save_checkpoint(self, is_best: bool = False, mid_epoch: bool = False):
-        # records COMPLETED epochs; a mid-epoch save restarts its epoch on
-        # resume. ALL processes must call this: orbax synchronizes across
-        # hosts internally (the primary writes, the rest barrier).
+        # records COMPLETED epochs; a mid-epoch save carries the batch
+        # offset within its epoch so resume continues from the exact batch
+        # (same shuffle + same per-sample aug RNG). ALL processes must call
+        # this: orbax synchronizes across hosts internally (the primary
+        # writes, the rest barrier).
         completed = self.current_epoch if mid_epoch else self.current_epoch + 1
         ckpt_lib.save_checkpoint(
             self.cfg.checkpoint_dir,
@@ -181,6 +197,7 @@ class Trainer:
             completed,
             self.best_miou,
             is_best=is_best,
+            epoch_batch=self._epoch_batch if mid_epoch else 0,
         )
 
     def train(self):
@@ -233,6 +250,7 @@ class Trainer:
                 )
                 profiling = True
             self.state, metrics = self._run_step(batch)
+            self._epoch_batch += 1
             it = int(np.asarray(self.state.iteration))
             if profiling and it >= 6:
                 jax.block_until_ready(self.state.params)

@@ -44,6 +44,7 @@ class UDATrainer(Trainer):
                 # the source loader would replay epoch 0's shuffle + augs
                 # forever (ADVICE r1, high).
                 loader.set_epoch(self.current_epoch)
+        self._consume_resume_skip(self.train_loader, self.target_loader)
         sharding = batch_sharding(self.mesh) if self.mesh is not None else None
         src = device_prefetch(iter(self.train_loader), sharding=sharding)
         tgt = device_prefetch(iter(self.target_loader), sharding=sharding)
