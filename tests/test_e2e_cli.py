@@ -178,3 +178,17 @@ def test_cli_e2e_miou_regression(tmp_path):
     assert miou_uda > 0.5 * miou_a, (
         f"UDA collapsed: {miou_uda:.4f} vs source {miou_a:.4f}"
     )
+
+    # qualitative predictions: trainId + colorized PNGs for the val split
+    pred_dir = str(tmp_path / "preds")
+    _run_cli("predict.py", [
+        "--dataset", "cityscapes", "--data_root_path", data,
+        "--pretrained_ckpt_file", f"{uda_dir}/checkpoint_best",
+        "--output_dir", pred_dir, "--data_parallel", "false",
+        *SIZE_FLAGS, *COMMON,
+    ])
+    ids = [f for f in os.listdir(pred_dir) if f.endswith("_trainids.png")]
+    colors = [f for f in os.listdir(pred_dir) if f.endswith("_color.png")]
+    assert len(ids) == 8 and len(colors) == 8
+    arr = np.asarray(Image.open(os.path.join(pred_dir, ids[0])))
+    assert arr.shape == (64, 128) and ((arr < 19) | (arr == 255)).all()

@@ -1,0 +1,136 @@
+"""Qualitative inference: write trainId + colorized prediction PNGs.
+
+Covers the reference's qualitative-results workflow (colorize utilities of
+datasets/cityscapes_Dataset.py — SURVEY.md C5 — driven from the validate()
+image previews, §3.3) as a standalone batch tool. Labels are NOT required:
+the tool iterates a split list of images, runs single- or multi-scale
+(+flip) inference, and writes per-image
+
+  <out>/<name>_trainids.png   (uint8 trainIds; 255 = ignore)
+  <out>/<name>_color.png      (Cityscapes palette)
+
+    python tools/predict.py --dataset cityscapes --data_root_path ./datasets \
+        --pretrained_ckpt_file ./runs/gta5_iw/checkpoint_best \
+        --output_dir ./preds --scales 0.75,1.0,1.25 --flip true
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from maxsquareloss_tpu.config import add_train_args, config_from_args, str2bool
+from maxsquareloss_tpu.data.palette import decode_labels
+from maxsquareloss_tpu.data.transforms import img_transform
+from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2, init_deeplabv2
+from maxsquareloss_tpu.ops.resize import (
+    resize_bilinear_align_corners,
+    upsample_logits,
+)
+from maxsquareloss_tpu.train import checkpoint as ckpt_lib
+from maxsquareloss_tpu.train.steps import model_config
+from maxsquareloss_tpu.utils.logging import setup_logger
+from tools.common import default_paths
+
+
+def make_predict_step(cfg, frozen, scales, flip, out_hw):
+    """Multi-scale (+flip) probability-averaged argmax (SURVEY.md §3.3)."""
+    mcfg = model_config(cfg)
+    scales = tuple(float(s) for s in scales)
+
+    @jax.jit
+    def step(params, x):
+        h, w = x.shape[1], x.shape[2]
+
+        def prob_for(img):
+            _, main = apply_deeplabv2(params, frozen, img, mcfg)
+            main = upsample_logits(main, out_hw)
+            return jax.nn.softmax(main, axis=-1)
+
+        prob = None
+        for s in scales:
+            sh, sw = max(1, round(h * s)), max(1, round(w * s))
+            img = (
+                x if (sh, sw) == (h, w)
+                else resize_bilinear_align_corners(x, (sh, sw))
+            )
+            p = prob_for(img)
+            if flip:
+                p = p + prob_for(img[:, :, ::-1, :])[:, :, ::-1, :]
+            prob = p if prob is None else prob + p
+        return jnp.argmax(prob, axis=-1).astype(jnp.int32)
+
+    return step
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("predict")
+    add_train_args(parser)
+    parser.add_argument("--output_dir", required=True)
+    parser.add_argument("--scales", default="1.0", help="comma list, e.g. 0.75,1.0,1.25")
+    parser.add_argument("--flip", type=str2bool, default=False)
+    parser.add_argument("--native_size_output", type=str2bool, default=True,
+                        help="write predictions at each image's native size "
+                             "(logits upsampled align-corners); false = base_size")
+    args = parser.parse_args(argv)
+    cfg = config_from_args(args)
+    logger = setup_logger(args.output_dir, "predict")
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    if not cfg.pretrained_ckpt_file:
+        parser.error("--pretrained_ckpt_file is required")
+    if cfg.pretrained_ckpt_file.endswith((".pth", ".pt")):
+        params, frozen = ckpt_lib.load_torch_pth(
+            cfg.pretrained_ckpt_file, cfg.num_classes
+        )
+        init_p, _ = init_deeplabv2(jax.random.key(0), model_config(cfg))
+        for k, v in init_p.items():
+            params.setdefault(k, v)
+    else:
+        payload = ckpt_lib.load_checkpoint(cfg.pretrained_ckpt_file)
+        state, frozen, _, _ = ckpt_lib.restore_train_state(payload)
+        params = state.params
+
+    paths = default_paths(args.data_root_path)[cfg.dataset]
+    list_path = args.list_path or paths["val"]
+    with open(list_path) as f:
+        items = [ln.split()[0] for ln in f if ln.strip()]
+
+    scales = tuple(float(s) for s in args.scales.split(","))
+    steps: dict[tuple[int, int], object] = {}  # one jit per output size
+    n = 0
+    for rel in items:
+        img_path = os.path.join(paths["root"], rel)
+        pil = Image.open(img_path).convert("RGB")
+        native_wh = pil.size
+        if pil.size != tuple(cfg.base_size):
+            pil = pil.resize(cfg.base_size, Image.BICUBIC)
+        x = img_transform(pil, cfg.numpy_transform)[None]
+        out_wh = native_wh if args.native_size_output else tuple(cfg.base_size)
+        out_hw = (out_wh[1], out_wh[0])
+        if out_hw not in steps:
+            steps[out_hw] = make_predict_step(cfg, frozen, scales, args.flip, out_hw)
+        pred = np.asarray(steps[out_hw](params, jnp.asarray(x)))[0]
+
+        name = os.path.splitext(os.path.basename(rel))[0]
+        ids = np.where(pred < 0, 255, pred).astype(np.uint8)
+        Image.fromarray(ids).save(os.path.join(args.output_dir, f"{name}_trainids.png"))
+        color = decode_labels(pred[None])[0].astype(np.uint8)
+        Image.fromarray(color).save(os.path.join(args.output_dir, f"{name}_color.png"))
+        n += 1
+        if n % 50 == 0:
+            logger.info(f"{n}/{len(items)} predicted")
+    logger.info(f"wrote {n} predictions to {args.output_dir}")
+
+
+if __name__ == "__main__":
+    main()
