@@ -136,6 +136,13 @@ class Trainer:
     def _batch_images(self, batch) -> int:
         return batch[0].shape[0]
 
+    def _expected_epoch_batches(self) -> int | None:
+        return getattr(self.train_loader, "num_iterations", None)
+
+    def _epoch_complete(self) -> bool:
+        exp = self._expected_epoch_batches()
+        return exp is None or self._epoch_batch >= exp
+
     # ----------------------------------------------------------------------
 
     def main(self):
@@ -207,15 +214,19 @@ class Trainer:
             self.train_one_epoch()
             if int(np.asarray(self.state.iteration)) >= stop_iter:
                 self.logger.info("reached iter_stop — finishing")
+            # an iter_stop that lands mid-epoch must checkpoint as
+            # mid-epoch (with the batch offset) so a later
+            # --continue_training resumes the exact data order
+            mid = not self._epoch_complete()
             if self.val_loader is not None and (
                 (epoch + 1) % self.cfg.validation_epoch == 0
             ):
                 miou = self.validate()
                 is_best = miou > self.best_miou
                 self.best_miou = max(self.best_miou, miou)
-                self.save_checkpoint(is_best=is_best)
+                self.save_checkpoint(is_best=is_best, mid_epoch=mid)
             else:
-                self.save_checkpoint()
+                self.save_checkpoint(mid_epoch=mid)
             if int(np.asarray(self.state.iteration)) >= stop_iter:
                 break
         ckpt_lib.wait_for_saves()  # drain the async checkpoint pipeline

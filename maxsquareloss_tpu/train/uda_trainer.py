@@ -57,3 +57,10 @@ class UDATrainer(Trainer):
     def _batch_images(self, batch) -> int:
         (xs, _, _), (xt, _, _) = batch
         return xs.shape[0] + xt.shape[0]
+
+    def _expected_epoch_batches(self) -> int | None:
+        ns = getattr(self.train_loader, "num_iterations", None)
+        nt = getattr(self.target_loader, "num_iterations", None)
+        if ns is None or nt is None:
+            return None
+        return min(ns, nt)  # zip(source, target) ends at the shorter loader

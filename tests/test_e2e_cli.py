@@ -133,6 +133,94 @@ def _loss_trajectory(run_dir: str) -> list[float]:
 
 
 @pytest.mark.slow
+def test_iter_stop_mid_epoch_checkpoint_resumes_exactly(tmp_path):
+    """--iter_stop landing mid-epoch must write a MID-EPOCH checkpoint
+    (batch offset included) so --continue_training resumes the exact data
+    order instead of marking the epoch complete."""
+    data = str(tmp_path / "data")
+    _make_learnable_dataset(data)
+    # ground truth: 8 iters uninterrupted (4 batches/epoch x 2 epochs)
+    dir_a = str(tmp_path / "a")
+    _run_cli("train_source.py", [
+        "--dataset", "gta5", "--data_root_path", data,
+        "--checkpoint_dir", dir_a, "--lr", "0.001", "--batch_size", "4",
+        "--iter_max", "100", "--iter_stop", "8", "--epoch_num", "2",
+        "--validation_epoch", "100", "--data_parallel", "false",
+        *SIZE_FLAGS, "--blocks", "1,1,2,1", "--num_workers", "2",
+        "--gaussian_blur", "false", "--seed", "0", "--numpy_transform", "false",
+    ])
+    # interrupted at iter 2 (mid-epoch), then resumed
+    dir_b = str(tmp_path / "b")
+    common = [
+        "--dataset", "gta5", "--data_root_path", data,
+        "--checkpoint_dir", dir_b, "--lr", "0.001", "--batch_size", "4",
+        "--iter_max", "100", "--epoch_num", "2",
+        "--validation_epoch", "100", "--data_parallel", "false",
+        *SIZE_FLAGS, "--blocks", "1,1,2,1", "--num_workers", "2",
+        "--gaussian_blur", "false", "--seed", "0", "--numpy_transform", "false",
+    ]
+    _run_cli("train_source.py", [*common, "--iter_stop", "2"])
+    _run_cli("train_source.py", [
+        *common, "--iter_stop", "8", "--continue_training",
+        "--pretrained_ckpt_file", f"{dir_b}/checkpoint_latest",
+    ])
+    truth = {
+        rec["step"]: rec["value"]
+        for rec in map(json.loads, open(f"{dir_a}/scalars.jsonl"))
+        if rec["tag"] == "train/loss"
+    }
+    resumed = {
+        rec["step"]: rec["value"]
+        for rec in map(json.loads, open(f"{dir_b}/scalars.jsonl"))
+        if rec["tag"] == "train/loss"
+    }
+    assert set(truth) == set(range(1, 9)) == set(resumed)
+    for it in range(1, 9):
+        assert resumed[it] == truth[it], f"iter {it} diverged"
+
+
+@pytest.mark.slow
+def test_solve_crosscity_end_to_end(tmp_path):
+    """Drive tools/solve_crosscity.py (C16) end to end on a tiny NTHU-layout
+    dataset: Cityscapes source (13-class relabel) + unlabeled city target +
+    small labeled city val."""
+    data = str(tmp_path / "data")
+    _make_learnable_dataset(data)  # provides Cityscapes source
+    rng = np.random.default_rng(1)
+    city = f"{data}/NTHU/Rio"
+    items = {"Train": [], "Test": []}
+    for sub, n in (("Train", 8), ("Test", 8)):
+        os.makedirs(f"{city}/Images/{sub}", exist_ok=True)
+        os.makedirs(f"{city}/Labels/{sub}", exist_ok=True)
+        for i in range(n):
+            name = f"{sub.lower()}_{i:04d}.png"
+            img, lab = np.zeros((64, 128, 3), np.uint8), None
+            lab = rng.choice(MAPPED_IDS, size=(64, 128)).astype(np.uint8)
+            for c in np.unique(lab):
+                img[lab == c] = _color_for(int(c))
+            Image.fromarray(img).save(f"{city}/Images/{sub}/{name}")
+            Image.fromarray(lab).save(f"{city}/Labels/{sub}/{name}")
+            items[sub].append(name)
+    open(f"{data}/NTHU/train.txt", "w").write("\n".join(items["Train"]))
+    open(f"{data}/NTHU/val.txt", "w").write("\n".join(items["Test"]))
+
+    run_dir = str(tmp_path / "crosscity")
+    out = _run_cli("solve_crosscity.py", [
+        "--city_name", "Rio", "--data_root_path", data,
+        "--checkpoint_dir", run_dir, "--target_mode", "IW_maxsquare",
+        "--multi", "true", "--iter_max", "100", "--iter_stop", "2",
+        "--epoch_num", "1", *SIZE_FLAGS, *TGT_SIZE_FLAGS, *COMMON,
+    ])
+    assert os.path.isdir(os.path.join(run_dir, "checkpoint_latest"))
+    assert "MIoU" in out  # validated on the city's labeled split
+    # 13-class head end to end
+    import re as _re
+
+    m = _re.search(r"MIoU=([0-9.]+)", out)
+    assert m and np.isfinite(float(m.group(1)))
+
+
+@pytest.mark.slow
 def test_cli_e2e_miou_regression(tmp_path):
     data = str(tmp_path / "data")
     _make_learnable_dataset(data)
