@@ -221,6 +221,52 @@ def test_solve_crosscity_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_solve_synthia_end_to_end(tmp_path):
+    """SYNTHIA→Cityscapes through the real CLI: 16-bit multi-channel label
+    PNGs (class id in the file's R channel), SYNTHIA id remap, 16/13-class
+    protocol metrics (MIoU_16/MIoU_13) in validation."""
+    cv2 = pytest.importorskip("cv2")
+    from maxsquareloss_tpu.data.synthia import SYNTHIA_ID_TO_TRAINID
+
+    data = str(tmp_path / "data")
+    _make_learnable_dataset(data)  # provides the Cityscapes target
+    rng = np.random.default_rng(3)
+    syn = f"{data}/SYNTHIA"
+    os.makedirs(f"{syn}/RGB", exist_ok=True)
+    os.makedirs(f"{syn}/GT/LABELS", exist_ok=True)
+    items = []
+    syn_ids = list(SYNTHIA_ID_TO_TRAINID)
+    for i in range(16):
+        name = f"{i:07d}.png"
+        lab = rng.choice(syn_ids, size=(64, 128)).astype(np.uint16)
+        img = np.zeros((64, 128, 3), np.uint8)
+        for c in np.unique(lab):
+            img[lab == c] = _color_for(1000 + int(c))
+        Image.fromarray(img).save(f"{syn}/RGB/{name}")
+        # 16-bit 3-channel label: class id in the file's R channel → index 2
+        # of the BGR array handed to cv2.imwrite
+        bgr = np.zeros((64, 128, 3), np.uint16)
+        bgr[:, :, 2] = lab
+        bgr[:, :, 0] = rng.integers(0, 65535, (64, 128))  # junk depth-ish
+        assert cv2.imwrite(f"{syn}/GT/LABELS/{name}", bgr)
+        items.append(name)
+    open(f"{syn}/train.txt", "w").write("\n".join(items))
+
+    run_dir = str(tmp_path / "synthia_uda")
+    out = _run_cli("solve_gta5.py", [
+        "--source_dataset", "synthia", "--data_root_path", data,
+        "--checkpoint_dir", run_dir, "--target_mode", "IW_maxsquare",
+        "--multi", "true", "--iter_max", "100", "--iter_stop", "2",
+        "--epoch_num", "1", *SIZE_FLAGS, *TGT_SIZE_FLAGS, *COMMON,
+    ])
+    assert os.path.isdir(os.path.join(run_dir, "checkpoint_latest"))
+    m16 = re.search(r"MIoU_16=([0-9.]+)", out)
+    m13 = re.search(r"MIoU_13=([0-9.]+)", out)
+    assert m16 and m13, f"SYNTHIA protocol metrics missing:\n{out[-2000:]}"
+    assert np.isfinite(float(m16.group(1))) and np.isfinite(float(m13.group(1)))
+
+
+@pytest.mark.slow
 def test_cli_e2e_miou_regression(tmp_path):
     data = str(tmp_path / "data")
     _make_learnable_dataset(data)

@@ -26,7 +26,7 @@ from maxsquareloss_tpu.train import checkpoint as ckpt_lib
 from maxsquareloss_tpu.train.evaluator import evaluate
 from maxsquareloss_tpu.train.steps import model_config
 from maxsquareloss_tpu.utils.logging import setup_logger
-from tools.common import default_paths, make_loader
+from tools.common import default_paths, make_loader, maybe_init_distributed
 
 
 def main(argv=None):
@@ -39,6 +39,7 @@ def main(argv=None):
                              " upsampled to label size (reference §3.3 variant)")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    maybe_init_distributed(cfg)
     logger = setup_logger(cfg.checkpoint_dir, "evaluate")
 
     if not cfg.pretrained_ckpt_file:
