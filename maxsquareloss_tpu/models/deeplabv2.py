@@ -59,6 +59,11 @@ class DeepLabV2Config:
     remat: str = ""
     # rewrite dilated convs as dense convs over parity subgrids (exact)
     space_to_batch: bool = False
+    # ASPP forward as one fat matmul + shifted accumulation (exact; see
+    # layers.aspp_sum). A clear win for forward-only graphs (+22% measured
+    # inference) but ~1.3 ms/step slower inside the fused train step, so
+    # eval/predict paths enable it and train steps keep the conv form.
+    aspp_matmul: bool = False
 
 
 # ---------------------------------------------------------------- init ----
@@ -176,15 +181,19 @@ def _stage(
 
 
 def _classifier(
-    p: Params, x: jax.Array, s2b: bool = False, mask: jax.Array | None = None
+    p: Params,
+    x: jax.Array,
+    s2b: bool = False,
+    mask: jax.Array | None = None,
+    matmul: bool = False,
 ) -> jax.Array:
-    # V2-style ASPP: 4 parallel dilated 3x3 convs, summed. Default path is
-    # the MXU-optimized exact rewrite (layers.aspp_sum: one fat matmul +
-    # shifted accumulation fwd, conv adjoints bwd); s2b keeps the legacy
-    # per-conv loop.
+    # V2-style ASPP: 4 parallel dilated 3x3 convs, summed. ``matmul``
+    # selects the MXU-optimized exact rewrite (layers.aspp_sum: one fat
+    # matmul + shifted accumulation fwd, conv adjoints bwd) — used by
+    # forward-only graphs (eval/predict, +22% measured).
     if mask is not None:
         x = x * mask.astype(x.dtype)
-    if not s2b:
+    if matmul and not s2b:
         return aspp_sum(
             x,
             [conv["w"] for conv in p["convs"]],
@@ -319,12 +328,16 @@ def apply_deeplabv2(
     y3 = stage_fn(2)(y)
     head_mask = None if masks is None else masks["os8"]
     aux = (
-        _classifier(params["layer5"], y3, cfg.space_to_batch, head_mask)
+        _classifier(
+            params["layer5"], y3, cfg.space_to_batch, head_mask, cfg.aspp_matmul
+        )
         if cfg.multi_level
         else None
     )
     y4 = stage_fn(3)(y3)
-    main = _classifier(params["layer6"], y4, cfg.space_to_batch, head_mask)
+    main = _classifier(
+        params["layer6"], y4, cfg.space_to_batch, head_mask, cfg.aspp_matmul
+    )
     if aux is not None:
         aux = aux.astype(jnp.float32)
     return aux, main.astype(jnp.float32)

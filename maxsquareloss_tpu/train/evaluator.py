@@ -32,7 +32,7 @@ def make_multiscale_eval_step(
     flip: bool = False,
     num_eval_classes: int | None = None,
 ):
-    mcfg = model_config(cfg)
+    mcfg = model_config(cfg, eval_mode=True)
     n_eval = num_eval_classes or cfg.num_classes
     scales = tuple(float(s) for s in scales)
 

@@ -63,7 +63,8 @@ def make_train_state(params: Any) -> TrainState:
     )
 
 
-def model_config(cfg: TrainConfig) -> DeepLabV2Config:
+def model_config(cfg: TrainConfig, eval_mode: bool = False) -> DeepLabV2Config:
+    """``eval_mode`` turns on forward-only optimizations (ASPP matmul)."""
     return DeepLabV2Config(
         num_classes=cfg.num_classes,
         multi_level=cfg.multi,
@@ -71,6 +72,7 @@ def model_config(cfg: TrainConfig) -> DeepLabV2Config:
         compute_dtype=cfg.dtype,
         remat=cfg.remat,
         space_to_batch=cfg.space_to_batch,
+        aspp_matmul=eval_mode,
     )
 
 
@@ -294,7 +296,7 @@ def make_eval_step(cfg: TrainConfig, frozen, num_eval_classes: int | None = None
     Mirrors reference validate() (§3.3): main head only, align-corners
     upsample to the label resolution, device-side confusion-matrix update.
     """
-    mcfg = model_config(cfg)
+    mcfg = model_config(cfg, eval_mode=True)
     n_eval = num_eval_classes or cfg.num_classes
 
     @jax.jit

@@ -44,7 +44,7 @@ from tools.common import default_paths
 
 def make_predict_step(cfg, frozen, scales, flip, out_hw):
     """Multi-scale (+flip) probability-averaged argmax (SURVEY.md §3.3)."""
-    mcfg = model_config(cfg)
+    mcfg = model_config(cfg, eval_mode=True)
     scales = tuple(float(s) for s in scales)
 
     @jax.jit
