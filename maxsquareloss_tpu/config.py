@@ -67,6 +67,7 @@ class TrainConfig:
     target_base_size: tuple[int, int] = (1024, 512)
     target_crop_size: tuple[int, int] = (1024, 512)
     num_workers: int = 8
+    loader: str = "threads"            # 'threads' | 'grain' (multiprocess)
     cache_dir: str | None = None       # decoded-sample cache (base-size npz)
     random_mirror: bool = True
     random_crop: bool = False
@@ -142,6 +143,9 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--base_size", default="1280,720")
     p.add_argument("--crop_size", default="1280,640")
     p.add_argument("--num_workers", type=int, default=8)
+    p.add_argument("--loader", default="threads", choices=("threads", "grain"),
+                   help="host pipeline: GIL-releasing thread pool (default) "
+                        "or grain multiprocess workers (multi-core hosts)")
     p.add_argument("--cache_dir", default=None,
                    help="decoded-sample cache dir (skips PNG decode + base resize)")
     p.add_argument("--random_mirror", type=str2bool, default=True)

@@ -1,0 +1,148 @@
+"""Optional grain-backed input pipeline (``--loader grain``).
+
+SURVEY.md C1's rebuild plan names grain/tf.data as the host-pipeline
+substrate for the reference's ``torch.utils.data`` worker processes; the
+default SegDataLoader uses a GIL-releasing thread pool instead (better on
+this dev box's single core). This module provides the grain alternative
+for real multi-core TPU hosts: true multiprocess decode workers with
+deterministic per-record shuffling and the same batch contract
+``(images (N,H,W,3) float32, labels (N,H,W) int32, names list)``.
+
+Determinism contract matches SegDataLoader: per-sample augmentation RNG is
+seeded by (seed, epoch, record_key), and each epoch reshuffles via a
+per-epoch sampler seed — bit-reproducible for any worker count.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+
+class _KeySource:
+    """grain RandomAccessDataSource yielding record keys (decode happens in
+    the map operation, where the epoch is known)."""
+
+    def __init__(self, n: int):
+        self._n = n
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, key: int) -> int:
+        return int(key)
+
+
+class GrainSegLoader:
+    """grain.DataLoader wrapper with the SegDataLoader interface.
+
+    One single-epoch grain DataLoader is built per ``__iter__`` so the
+    trainer's set_epoch / abandoned-generator semantics match the thread
+    loader exactly.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 0,
+        seed: int = 0,
+        drop_last: bool = True,
+        pad_last: bool = False,
+        shard_index: int = 0,
+        shard_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        # grain worker_count=0 runs in-process; >0 forks decode workers
+        self.num_workers = max(0, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.pad_last = pad_last
+        self.shard_index = shard_index
+        self.shard_count = max(1, shard_count)
+        self.epoch = 0
+        self._skip_batches = 0
+
+    # -- SegDataLoader interface ------------------------------------------
+
+    @property
+    def num_iterations(self) -> int:
+        n = len(self.dataset) // self.shard_count if self.shard_count > 1 \
+            else len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def set_skip(self, n_batches: int):
+        self._skip_batches = int(n_batches)
+
+    def __len__(self) -> int:
+        return self.num_iterations
+
+    # ----------------------------------------------------------------------
+
+    def _build(self, epoch: int):
+        import grain.python as grain
+
+        ds, seed = self.dataset, self.seed
+
+        class DecodeSample(grain.MapTransform):
+            def map(self, key: int):
+                rng = np.random.default_rng((seed, epoch, int(key)))
+                return ds.get(int(key), rng)
+
+        sampler = grain.IndexSampler(
+            num_records=len(ds),
+            shard_options=grain.ShardOptions(
+                shard_index=self.shard_index,
+                shard_count=self.shard_count,
+                drop_remainder=self.shard_count > 1,
+            ),
+            shuffle=self.shuffle,
+            # fresh permutation per epoch, reproducible across runs
+            seed=(self.seed * 1_000_003 + epoch) % (2**31 - 1),
+            num_epochs=1,
+        )
+        return grain.DataLoader(
+            data_source=_KeySource(len(ds)),
+            sampler=sampler,
+            operations=[DecodeSample()],
+            worker_count=self.num_workers,
+        )
+
+    def __iter__(self) -> Iterator[tuple[np.ndarray, np.ndarray, list[str]]]:
+        epoch = self.epoch
+        self.epoch = epoch + 1
+        skip = self._skip_batches
+        self._skip_batches = 0
+        batch: list = []
+        emitted = 0
+        for sample in self._build(epoch):
+            batch.append(sample)
+            if len(batch) == self.batch_size:
+                emitted += 1
+                if emitted > skip:
+                    yield self._stack(batch)
+                batch = []
+        if batch and not self.drop_last:
+            if self.pad_last and len(batch) < self.batch_size:
+                x_last, y_last, _ = batch[-1]
+                pad = (x_last, np.full_like(y_last, -1), "<pad>")
+                batch += [pad] * (self.batch_size - len(batch))
+            emitted += 1
+            if emitted > skip:
+                yield self._stack(batch)
+
+    @staticmethod
+    def _stack(batch):
+        xs = np.stack([b[0] for b in batch])
+        ys = np.stack([b[1] for b in batch])
+        names = [str(b[2]) for b in batch]
+        return xs, ys, names

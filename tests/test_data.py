@@ -277,6 +277,66 @@ def SegDatasetLoadMaskForced(ds, path, force_no_native=False):
         return ds._load_mask(path)
 
 
+class TestGrainLoader:
+    """Optional grain-backed pipeline (--loader grain): same batch contract
+    and determinism guarantees as SegDataLoader."""
+
+    def _pair(self, **kw):
+        from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
+
+        ds = SyntheticSegDataset(length=12, hw=(8, 8))
+        return (
+            SegDataLoader(ds, batch_size=4, num_workers=1, seed=5, **kw),
+            GrainSegLoader(ds, batch_size=4, num_workers=0, seed=5, **kw),
+        )
+
+    def test_unshuffled_content_matches_thread_loader(self):
+        thr, grn = self._pair(shuffle=False)
+        for (xa, ya, na), (xb, yb, nb) in zip(thr, grn):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+            assert na == nb
+
+    def test_deterministic_reshuffle(self):
+        _, g1 = self._pair(shuffle=True)
+        _, g2 = self._pair(shuffle=True)
+        e0a = [n for _, _, ns in g1 for n in ns]
+        e0b = [n for _, _, ns in g2 for n in ns]
+        assert e0a == e0b                      # same seed → same order
+        e1a = [n for _, _, ns in g1 for n in ns]
+        assert e1a != e0a                      # next epoch reshuffles
+        assert sorted(e1a) == sorted(e0a)      # same multiset
+        g2.set_epoch(1)
+        e1b = [n for _, _, ns in g2 for n in ns]
+        assert e1b == e1a                      # set_epoch pins the draw
+
+    def test_set_skip_reproduces_tail(self):
+        _, g1 = self._pair(shuffle=True)
+        full = list(g1)
+        g1.set_epoch(0)
+        g1.set_skip(1)
+        tail = list(g1)
+        assert len(tail) == len(full) - 1
+        for (xa, ya, na), (xb, yb, nb) in zip(full[1:], tail):
+            np.testing.assert_array_equal(xa, xb)
+            assert na == nb
+
+    def test_pad_last_ignore_labels(self):
+        from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
+
+        ds = SyntheticSegDataset(length=5, hw=(8, 8))
+        g = GrainSegLoader(
+            ds, batch_size=4, shuffle=False, num_workers=0,
+            drop_last=False, pad_last=True,
+        )
+        batches = list(g)
+        assert len(batches) == 2
+        xs, ys, names = batches[-1]
+        assert xs.shape == (4, 8, 8, 3)
+        assert names[1:] == ["<pad>"] * 3
+        assert (ys[1:] == -1).all()
+
+
 def test_decode_labels_palette():
     mask = np.array([[0, 18], [-1, 13]], dtype=np.int32)
     rgb = decode_labels(mask)

@@ -93,7 +93,13 @@ def make_loader(
     assert cfg.batch_size % procs == 0, (
         f"global batch {cfg.batch_size} not divisible by {procs} processes"
     )
-    return SegDataLoader(
+    if cfg.loader == "grain":
+        from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
+
+        loader_cls = GrainSegLoader
+    else:
+        loader_cls = SegDataLoader
+    return loader_cls(
         ds,
         batch_size=cfg.batch_size // procs,
         shuffle=split == "train",
