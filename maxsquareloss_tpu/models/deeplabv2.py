@@ -64,6 +64,11 @@ class DeepLabV2Config:
     # inference) but ~1.3 ms/step slower inside the fused train step, so
     # eval/predict paths enable it and train steps keep the conv form.
     aspp_matmul: bool = False
+    # Stride-1 identity-residual bottlenecks as ONE Pallas kernel with
+    # VMEM-resident intermediates (pallas/fused_block.py) — removes the
+    # HBM round-trips that pin the 1x1 convs to the bandwidth roofline
+    # (BASELINE.md round-2 micro-benchmark). TPU only.
+    fused_blocks: bool = False
 
 
 # ---------------------------------------------------------------- init ----
@@ -174,9 +179,49 @@ def _stage(
     dilation: int,
     s2b: bool = False,
     mask: jax.Array | None = None,
+    fused: bool = False,
 ) -> jax.Array:
+    """One ResNet stage. With ``fused``, runs of eligible blocks (stride 1,
+    identity residual) execute as Pallas fused-bottleneck kernels chained
+    inside a shared padded-W domain — padded/sliced once per run, with the
+    mid-block activations never leaving the padded layout
+    (pallas/fused_block.py)."""
+    if fused:
+        from maxsquareloss_tpu.pallas import fused_block as fb
+
+    w_valid = x.shape[2]
+    padded = False
     for bi, (p, f) in enumerate(zip(ps, fs)):
-        x = _bottleneck(p, f, x, stride if bi == 0 else 1, dilation, s2b, mask)
+        block_stride = stride if bi == 0 else 1
+        eligible = (
+            fused
+            and block_stride == 1
+            and "downsample" not in p
+            and mask is None
+            and not s2b
+            # lane tiling: compiled DMA needs the wide channels 128-aligned
+            and x.shape[-1] % 128 == 0
+        )
+        if eligible:
+            if not padded:
+                w_valid = x.shape[2]
+                x = fb.pad_for_fused(x, dilation)
+                padded = True
+            x = fb.fused_bottleneck_padded(
+                x,
+                p["conv1"]["w"], p["conv2"]["w"], p["conv3"]["w"],
+                f["bn1"]["scale"], f["bn1"]["bias"],
+                f["bn2"]["scale"], f["bn2"]["bias"],
+                f["bn3"]["scale"], f["bn3"]["bias"],
+                dilation, w_valid,
+            )
+        else:
+            if padded:
+                x = fb.unpad_from_fused(x, w_valid)
+                padded = False
+            x = _bottleneck(p, f, x, block_stride, dilation, s2b, mask)
+    if padded:
+        x = fb.unpad_from_fused(x, w_valid)
     return x
 
 
@@ -319,6 +364,7 @@ def apply_deeplabv2(
                 LAYER_DILATIONS[li],
                 cfg.space_to_batch,
                 stage_masks[li],
+                cfg.fused_blocks,
             )
 
         return jax.checkpoint(run) if cfg.remat == "stages" else run

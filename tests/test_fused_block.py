@@ -1,0 +1,118 @@
+"""Fused Pallas bottleneck block vs the unfused conv chain.
+
+Runs in Pallas interpret mode on CPU (tests never touch the TPU); the same
+kernel compiles for TPU in bench.py / --fused_blocks runs. Parity target:
+models/deeplabv2._bottleneck (the exact rebuild of the reference
+graphs/models/deeplab101.py Bottleneck — SURVEY.md C6).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from maxsquareloss_tpu.models.deeplabv2 import _bottleneck
+from maxsquareloss_tpu.pallas.fused_block import fused_bottleneck
+
+
+def _make_case(rng, n, h, w, cin, cmid):
+    p = {
+        "conv1": {"w": jnp.asarray(
+            rng.normal(size=(1, 1, cin, cmid)).astype(np.float32) * 0.1)},
+        "conv2": {"w": jnp.asarray(
+            rng.normal(size=(3, 3, cmid, cmid)).astype(np.float32) * 0.1)},
+        "conv3": {"w": jnp.asarray(
+            rng.normal(size=(1, 1, cmid, cin)).astype(np.float32) * 0.1)},
+    }
+    f = {
+        name: {
+            "scale": jnp.asarray(
+                (rng.uniform(0.5, 1.5, size=(c,))).astype(np.float32)),
+            "bias": jnp.asarray(
+                rng.normal(size=(c,)).astype(np.float32) * 0.1),
+        }
+        for name, c in (("bn1", cmid), ("bn2", cmid), ("bn3", cin))
+    }
+    x = jnp.asarray(rng.normal(size=(n, h, w, cin)).astype(np.float32))
+    return p, f, x
+
+
+def _fused(p, f, x, d):
+    return fused_bottleneck(
+        x,
+        p["conv1"]["w"], p["conv2"]["w"], p["conv3"]["w"],
+        f["bn1"]["scale"], f["bn1"]["bias"],
+        f["bn2"]["scale"], f["bn2"]["bias"],
+        f["bn3"]["scale"], f["bn3"]["bias"],
+        d,
+    )
+
+
+@pytest.mark.parametrize(
+    "n,h,w,cin,cmid,d",
+    [
+        (2, 13, 17, 64, 16, 2),   # H % TH != 0, odd W
+        (1, 4, 9, 32, 8, 1),      # H < default tile, d=1
+        (1, 9, 11, 32, 8, 4),     # halo (2d) wider than one tile's rows
+        (2, 16, 12, 64, 16, 2),   # H % TH == 0
+    ],
+)
+def test_fused_block_matches_unfused(n, h, w, cin, cmid, d):
+    rng = np.random.default_rng(7)
+    p, f, x = _make_case(rng, n, h, w, cin, cmid)
+    want = _bottleneck(p, f, x, stride=1, dilation=d)
+    with pltpu.force_tpu_interpret_mode():
+        got = _fused(p, f, x, d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_block_grads_match_unfused():
+    rng = np.random.default_rng(3)
+    p, f, x = _make_case(rng, 2, 11, 13, 32, 8)
+    d = 2
+
+    def loss_unfused(p_, x_):
+        y = _bottleneck(p_, f, x_, stride=1, dilation=d)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_fused(p_, x_):
+        y = _fused(p_, f, x_, d)
+        return jnp.sum(jnp.sin(y))
+
+    gp_ref, gx_ref = jax.grad(loss_unfused, argnums=(0, 1))(p, x)
+    with pltpu.force_tpu_interpret_mode():
+        gp, gx = jax.grad(loss_fused, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_ref),
+                               rtol=1e-4, atol=1e-5)
+    for k in ("conv1", "conv2", "conv3"):
+        np.testing.assert_allclose(
+            np.asarray(gp[k]["w"]), np.asarray(gp_ref[k]["w"]),
+            rtol=1e-4, atol=1e-5, err_msg=k)
+
+
+def test_fused_block_in_model_config():
+    """fused_blocks config routes eligible blocks through the kernel and
+    preserves the full-model forward."""
+    from maxsquareloss_tpu.models.deeplabv2 import (
+        DeepLabV2Config, apply_deeplabv2, init_deeplabv2,
+    )
+
+    cfg = DeepLabV2Config(num_classes=5, blocks=(1, 2, 2, 1))
+    cfg_fused = DeepLabV2Config(
+        num_classes=5, blocks=(1, 2, 2, 1), fused_blocks=True
+    )
+    params, frozen = init_deeplabv2(jax.random.key(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 33, 65, 3)).astype(np.float32)
+    )
+    aux, main = apply_deeplabv2(params, frozen, x, cfg)
+    with pltpu.force_tpu_interpret_mode():
+        aux_f, main_f = apply_deeplabv2(params, frozen, x, cfg_fused)
+    np.testing.assert_allclose(np.asarray(main_f), np.asarray(main),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux_f), np.asarray(aux),
+                               rtol=1e-4, atol=1e-4)
