@@ -3,20 +3,29 @@
 Measures the convolutions that make up the DeepLabV2 hot loop
 (layer3/layer4 bottleneck 1x1s and dilated 3x3s at the 65x129 OS=8 maps).
 
-Methodology: the axon relay adds ~1.5-2 ms of fixed dispatch overhead per
-executable call, so single-op timings are useless — each case CHAINS K
-applications of the op inside ONE jit (output feeds the next input) and
-divides by K. Inputs rotate across buffers to defeat the relay result
-cache. For fwd+bwd we differentiate the whole chain wrt input + weights
-(each op then runs fwd once + its two adjoints once, like in training).
+Methodology (IMPORTANT — round-2 discovery): through this box's axon
+relay, ``jax.block_until_ready`` is NOT a reliable execution fence —
+timings based on it report physically impossible rates (e.g. 30+ PFLOP/s).
+The only sound protocol is CHAIN-MARGINAL timing with a host-readback
+fence: each measured call chains K dependent ops and ends in an in-jit
+scalar whose ``float()`` readback forces real execution; differencing two
+chain lengths cancels the relay's ~30 ms fixed per-readback cost:
 
-Usage: python experiments/bench_conv.py [--dtype bfloat16] [--iters 10]
+    per_op = (t(K2) - t(K1)) / (K2 - K1)
+
+For fwd+bwd we differentiate the whole chain wrt input + weights.
+
+Usage: python experiments/bench_conv.py [--dtype bfloat16] [--iters 5]
 """
 
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -26,13 +35,15 @@ PEAK_BF16 = 197e12  # v5e bf16 peak FLOP/s
 PEAK_F32 = 49e12
 
 
-def timeit(fn, buffers, iters):
-    for i in range(2):
-        jax.block_until_ready(fn(buffers[i % len(buffers)]))
-    t0 = time.perf_counter()
-    outs = [fn(buffers[i % len(buffers)]) for i in range(iters)]
-    jax.block_until_ready(outs)
-    return (time.perf_counter() - t0) / iters
+def fenced(fn, bufs, iters):
+    """min over reps of a host-readback-fenced call."""
+    float(fn(bufs[-1]))  # compile + warm
+    ts = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        float(fn(bufs[i % (len(bufs) - 1)]))
+        ts.append(time.perf_counter() - t0)
+    return min(ts)
 
 
 def conv(x, w, padding, dilation):
@@ -44,8 +55,7 @@ def conv(x, w, padding, dilation):
     )
 
 
-def make_chain(ws, pads, dils, K):
-    """fn(x) = x -> conv(w_0) -> conv(w_1) -> ... (K ops, cycling ws)."""
+def make_chain(ws, pads, dils, K, bwd):
     n = len(ws)
 
     @jax.jit
@@ -55,6 +65,9 @@ def make_chain(ws, pads, dils, K):
             y = conv(y, ws[i % n], pads[i % n], dils[i % n])
         return jnp.sum(y.astype(jnp.float32))
 
+    if not bwd:
+        return fwd
+
     @jax.jit
     def fwdbwd(x):
         def loss(x_, ws_):
@@ -63,20 +76,23 @@ def make_chain(ws, pads, dils, K):
                 y = conv(y, ws_[i % n], pads[i % n], dils[i % n])
             return jnp.sum(y.astype(jnp.float32)) * 1e-6
 
-        return jax.grad(loss, argnums=(0, 1))(x, list(ws))
+        gx, gw = jax.grad(loss, argnums=(0, 1))(x, list(ws))
+        return jnp.sum(gx.astype(jnp.float32)) + sum(
+            jnp.sum(g.astype(jnp.float32)) for g in gw
+        )
 
-    return fwd, fwdbwd
+    return fwdbwd
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--iters", type=int, default=10)
-    p.add_argument("--chain", type=int, default=24)
-    # grad of a long chain is compile-heavy (>40 min, >13 GB RSS for 24);
-    # keep the bwd chain short — per-op attribution only needs amortization
-    # of the ~2 ms relay dispatch, not a deep chain
-    p.add_argument("--bwd_chain", type=int, default=6)
+    p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--k1", type=int, default=4)
+    p.add_argument("--k2", type=int, default=16)
+    # grad of a long chain is compile-heavy; keep bwd chains short
+    p.add_argument("--bk1", type=int, default=2)
+    p.add_argument("--bk2", type=int, default=6)
     p.add_argument("--nbuf", type=int, default=4)
     p.add_argument("--skip_bwd", action="store_true")
     args = p.parse_args()
@@ -84,8 +100,6 @@ def main():
     peak = PEAK_BF16 if dtype == jnp.bfloat16 else PEAK_F32
 
     N, H, W = 8, 65, 129
-    # each case: (name, [(Cin,Cout,k,d), ...]) — the op list is cycled K
-    # times; Cout of the last must equal Cin of the first.
     cases = [
         ("l3 1x1 256->1024->256 pair", [(256, 1024, 1, 1), (1024, 256, 1, 1)]),
         ("l3 3x3 d2 256->256", [(256, 256, 3, 2)]),
@@ -94,7 +108,7 @@ def main():
         ("3x3 d1 256->256 (control)", [(256, 256, 3, 1)]),
     ]
     rng = np.random.default_rng(0)
-    print(f"dtype={dtype.name} N={N} H={H} W={W} chain={args.chain} "
+    print(f"dtype={dtype.name} N={N} H={H} W={W} marginal K={args.k1}->{args.k2} "
           f"peak={peak/1e12:.0f}TF/s")
     for name, ops in cases:
         ws, pads, dils, flops1 = [], [], [], 0.0
@@ -106,30 +120,31 @@ def main():
             pads.append(d if k == 3 else 0)
             dils.append(d)
             flops1 += 2 * N * H * W * k * k * ci * co
-        K = args.chain - (args.chain % len(ops))
-        Kb = max(len(ops), args.bwd_chain - (args.bwd_chain % len(ops)))
-        flops = flops1 * K / len(ops)
-        flops_b = flops1 * Kb / len(ops)
-        fwd, _ = make_chain(ws, pads, dils, K)
-        _, fwdbwd = make_chain(ws, pads, dils, Kb)
         ci0 = ops[0][0]
         bufs = [
             jnp.asarray(rng.normal(size=(N, H, W, ci0)).astype(np.float32))
             .astype(dtype)
-            for _ in range(args.nbuf)
+            for _ in range(args.nbuf + 1)
         ]
-        t_fwd = timeit(fwd, bufs, args.iters)
-        per_fwd = t_fwd / K * len(ops)
+
+        def marginal(k1, k2, bwd):
+            k1 -= k1 % len(ops) or 0
+            k1 = max(len(ops), k1 - (k1 % len(ops)))
+            k2 = max(2 * len(ops), k2 - (k2 % len(ops)))
+            t1 = fenced(make_chain(ws, pads, dils, k1, bwd), bufs, args.iters)
+            t2 = fenced(make_chain(ws, pads, dils, k2, bwd), bufs, args.iters)
+            return (t2 - t1) / (k2 - k1) * len(ops)
+
+        per_fwd = marginal(args.k1, args.k2, False)
         line = (
-            f"{name:30s} fwd {per_fwd*1e3:7.3f} ms/op {flops/t_fwd/1e12:6.1f}"
-            f" TF/s ({100*flops/t_fwd/peak:4.1f}%)"
+            f"{name:30s} fwd {per_fwd*1e3:7.3f} ms/op "
+            f"{flops1/per_fwd/1e12:6.1f} TF/s ({100*flops1/per_fwd/peak:4.1f}%)"
         )
         if not args.skip_bwd:
-            t_bwd = timeit(fwdbwd, bufs, args.iters)
-            per_bwd = t_bwd / Kb * len(ops)
+            per_bwd = marginal(args.bk1, args.bk2, True)
             line += (
                 f"   fwd+bwd {per_bwd*1e3:7.3f} ms/op"
-                f" ({100*3*flops_b/t_bwd/peak:4.1f}%)"
+                f" ({100*3*flops1/per_bwd/peak:4.1f}%)"
             )
         print(line, flush=True)
 

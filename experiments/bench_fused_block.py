@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--chain", type=int, default=8)
     ap.add_argument("--bwd_chain", type=int, default=4)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--skip_bwd", action="store_true")
+    ap.add_argument("--skip_unfused", action="store_true")
     args = ap.parse_args()
     h, w, cin, cmid, d = LAYERS[args.layer]
     dtype = jnp.dtype(args.dtype)
@@ -80,7 +82,10 @@ def main():
             for _ in range(4)]
 
     flops1 = 2 * n * h * w * (cin * cmid * 2 + 9 * cmid * cmid)
-    for name, block in (("unfused", block_unfused), ("fused", block_fused)):
+    variants = (("unfused", block_unfused), ("fused", block_fused))
+    if args.skip_unfused:
+        variants = variants[1:]
+    for name, block in variants:
         K = args.chain
 
         @jax.jit
@@ -102,10 +107,13 @@ def main():
             return jax.grad(loss)(x)
 
         t_f = timeit(fwd, bufs, args.iters)
-        t_fb = timeit(fwdbwd, bufs, args.iters)
-        print(f"layer{args.layer} {name:8s} fwd {t_f/K*1e3:7.3f} ms/block "
-              f"({flops1*K/t_f/1e12:6.1f} TF/s)   fwd+bwd {t_fb/Kb*1e3:7.3f} ms/block "
-              f"({3*flops1*Kb/t_fb/1e12:6.1f} TF/s)", flush=True)
+        line = (f"layer{args.layer} {name:8s} fwd {t_f/K*1e3:7.3f} ms/block "
+                f"({flops1*K/t_f/1e12:6.1f} TF/s)")
+        if not args.skip_bwd:
+            t_fb = timeit(fwdbwd, bufs, args.iters)
+            line += (f"   fwd+bwd {t_fb/Kb*1e3:7.3f} ms/block "
+                     f"({3*flops1*Kb/t_fb/1e12:6.1f} TF/s)")
+        print(line, flush=True)
 
     # numerical check fused vs unfused on-device
     y0 = jax.jit(block_unfused)(bufs[0])

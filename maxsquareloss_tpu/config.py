@@ -37,6 +37,7 @@ class TrainConfig:
     remat: str = ""                    # '' | 'stages'
     space_to_batch: bool = False       # dilated convs as dense parity-subgrid convs
     use_pallas: bool = False           # fused Pallas kernels for max-square losses
+    fused_blocks: bool = False         # Pallas fused residual bottleneck blocks
     concat_batches: bool = False       # UDA: one concatenated fwd for src+tgt (frozen BN)
 
     # optimizer (reference defaults: SGD 2.5e-4, momentum .9, wd 5e-4)
@@ -163,6 +164,9 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--remat", default="", choices=("", "stages"))
+    p.add_argument("--fused_blocks", type=str2bool, default=False,
+                   help="Pallas fused residual bottleneck blocks (experimental; "
+                        "measured slower than XLA convs on v5e — see BASELINE.md)")
     p.add_argument("--data_parallel", type=str2bool, default=True)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first steps")

@@ -214,16 +214,19 @@ def _kernel_body(
 
         run_dma(cell, "wait")
 
-    slot = jax.lax.rem(cell, 2)
+    slot = 0 if "fixedslot" in _ABLATE else jax.lax.rem(cell, 2)
     x_slab = xbuf.at[slot][...]  # (R, Wp, Cin) via ref transform
 
     # conv1 (1x1) over the full halo'd slab
-    z1 = jnp.dot(
-        x_slab.reshape(R * Wp, Cin),
-        w1_ref[...],
-        preferred_element_type=jnp.float32,
-    ).astype(dtype)
-    h1 = jax.nn.relu(z1 * s1_ref[0] + b1_ref[0]).reshape(R, Wp, Cmid)
+    if "noconv1" in _ABLATE:
+        h1 = jnp.full((R, Wp, Cmid), 0.1, dtype)
+    else:
+        z1 = jnp.dot(
+            x_slab.reshape(R * Wp, Cin),
+            w1_ref[...],
+            preferred_element_type=jnp.float32,
+        ).astype(dtype)
+        h1 = jax.nn.relu(z1 * s1_ref[0] + b1_ref[0]).reshape(R, Wp, Cmid)
     # zero outside the image: conv2's zero padding AND stale-scratch guard.
     # 3-D iotas: reshaping an i1 mask trips Mosaic ("insertion of minor dim
     # ... only supported for 32-bit types"), so build the mask at full rank.

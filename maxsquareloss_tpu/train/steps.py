@@ -73,6 +73,7 @@ def model_config(cfg: TrainConfig, eval_mode: bool = False) -> DeepLabV2Config:
         remat=cfg.remat,
         space_to_batch=cfg.space_to_batch,
         aspp_matmul=eval_mode,
+        fused_blocks=cfg.fused_blocks,
     )
 
 
