@@ -15,23 +15,36 @@ per-epoch sampler seed — bit-reproducible for any worker count.
 
 from __future__ import annotations
 
+import logging
 from typing import Iterator
 
 import numpy as np
 
+from maxsquareloss_tpu.data.loader import _PAD_SAMPLE_NAME
+
 
 class _KeySource:
     """grain RandomAccessDataSource yielding record keys (decode happens in
-    the map operation, where the epoch is known)."""
+    the map operation, where the epoch is known).
 
-    def __init__(self, n: int):
-        self._n = n
+    ``keys`` maps source positions to dataset indices; a ``-1`` key is a
+    shard-padding slot (all-ignore sample, excluded from metrics)."""
+
+    def __init__(self, n_or_keys):
+        if isinstance(n_or_keys, int):
+            self._keys = None
+            self._n = n_or_keys
+        else:
+            self._keys = np.asarray(n_or_keys)
+            self._n = len(self._keys)
 
     def __len__(self) -> int:
         return self._n
 
     def __getitem__(self, key: int) -> int:
-        return int(key)
+        if self._keys is None:
+            return int(key)
+        return int(self._keys[int(key)])
 
 
 class GrainSegLoader:
@@ -71,8 +84,13 @@ class GrainSegLoader:
 
     @property
     def num_iterations(self) -> int:
-        n = len(self.dataset) // self.shard_count if self.shard_count > 1 \
-            else len(self.dataset)
+        n = len(self.dataset)
+        if self.shard_count > 1:
+            # pad_last (val): shards round UP so every sample is evaluated
+            # exactly once (short shards pad with all-ignore samples);
+            # train drops the remainder for lockstep equal lengths
+            n = -(-n // self.shard_count) if self.pad_last \
+                else n // self.shard_count
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -95,23 +113,43 @@ class GrainSegLoader:
 
         class DecodeSample(grain.MapTransform):
             def map(self, key: int):
+                if key < 0:  # shard-padding slot
+                    rng = np.random.default_rng((seed, epoch, 0))
+                    x, y, _ = ds.get(0, rng)
+                    return x, np.full_like(y, -1), _PAD_SAMPLE_NAME
                 rng = np.random.default_rng((seed, epoch, int(key)))
                 return ds.get(int(key), rng)
 
-        sampler = grain.IndexSampler(
-            num_records=len(ds),
-            shard_options=grain.ShardOptions(
+        if self.pad_last and self.shard_count > 1:
+            # val: EVERY sample must be scored exactly once. grain's
+            # even_split does not guarantee that with remainders, so shard
+            # at the key-source level (same interleaved scheme as
+            # SegDataLoader) and pad short shards with -1 slots.
+            per = -(-len(ds) // self.shard_count)
+            keys = np.arange(len(ds))[self.shard_index :: self.shard_count]
+            if len(keys) < per:
+                keys = np.concatenate(
+                    [keys, np.full(per - len(keys), -1, keys.dtype)]
+                )
+            source = _KeySource(keys)
+            shard_options = grain.NoSharding()
+        else:
+            source = _KeySource(len(ds))
+            shard_options = grain.ShardOptions(
                 shard_index=self.shard_index,
                 shard_count=self.shard_count,
                 drop_remainder=self.shard_count > 1,
-            ),
+            )
+        sampler = grain.IndexSampler(
+            num_records=len(source),
+            shard_options=shard_options,
             shuffle=self.shuffle,
             # fresh permutation per epoch, reproducible across runs
             seed=(self.seed * 1_000_003 + epoch) % (2**31 - 1),
             num_epochs=1,
         )
         return grain.DataLoader(
-            data_source=_KeySource(len(ds)),
+            data_source=source,
             sampler=sampler,
             operations=[DecodeSample()],
             worker_count=self.num_workers,
@@ -122,23 +160,58 @@ class GrainSegLoader:
         self.epoch = epoch + 1
         skip = self._skip_batches
         self._skip_batches = 0
+        if skip:
+            # grain's sampler has no index offset: the skipped batches are
+            # decoded and discarded (exact, but pays decode cost). The
+            # thread loader slices the index order instead — prefer
+            # --loader threads when cheap exact mid-epoch resume matters.
+            logging.getLogger("maxsquareloss_tpu").warning(
+                "grain loader resume replays %d skipped batches through "
+                "decode; use --loader threads for cheap exact resume", skip
+            )
+        target_iters = self.num_iterations
         batch: list = []
         emitted = 0
+        last_sample = None
+
+        def emit(b):
+            nonlocal emitted
+            emitted += 1
+            if emitted > skip:
+                return self._stack(b)
+            return None
+
         for sample in self._build(epoch):
+            last_sample = sample
             batch.append(sample)
             if len(batch) == self.batch_size:
-                emitted += 1
-                if emitted > skip:
-                    yield self._stack(batch)
+                out = emit(batch)
+                if out is not None:
+                    yield out
                 batch = []
         if batch and not self.drop_last:
             if self.pad_last and len(batch) < self.batch_size:
-                x_last, y_last, _ = batch[-1]
-                pad = (x_last, np.full_like(y_last, -1), "<pad>")
-                batch += [pad] * (self.batch_size - len(batch))
-            emitted += 1
-            if emitted > skip:
-                yield self._stack(batch)
+                batch += [self._pad_from(batch[-1])] * (
+                    self.batch_size - len(batch)
+                )
+            out = emit(batch)
+            if out is not None:
+                yield out
+        # short shard (val, multi-host): emit all-pad batches so every
+        # process runs the same number of lockstep iterations
+        while self.pad_last and emitted < target_iters:
+            if last_sample is None:
+                rng = np.random.default_rng((self.seed, epoch, 0))
+                last_sample = self.dataset.get(0, rng)
+            pad = self._pad_from(last_sample)
+            out = emit([pad] * self.batch_size)
+            if out is not None:
+                yield out
+
+    @staticmethod
+    def _pad_from(sample):
+        x_last, y_last, _ = sample
+        return (x_last, np.full_like(y_last, -1), _PAD_SAMPLE_NAME)
 
     @staticmethod
     def _stack(batch):

@@ -68,8 +68,14 @@ class SegDataLoader:
         self._skip_batches = int(n_batches)
 
     def _shard_len(self) -> int:
-        return len(self.dataset) // self.shard_count if self.shard_count > 1 \
-            else len(self.dataset)
+        if self.shard_count <= 1:
+            return len(self.dataset)
+        if self.pad_last:
+            # val: EVERY sample must be evaluated exactly once (the
+            # reference protocol); short shards pad with all-ignore
+            # samples so processes stay in lockstep
+            return -(-len(self.dataset) // self.shard_count)
+        return len(self.dataset) // self.shard_count
 
     @property
     def num_iterations(self) -> int:
@@ -88,6 +94,10 @@ class SegDataLoader:
         return idx
 
     def _sample(self, index: int, epoch: int):
+        if index < 0:  # shard-padding slot: all-ignore labels, never scored
+            rng = np.random.default_rng((self.seed, epoch, 0))
+            x, y, _ = self.dataset.get(0, rng)
+            return x, np.full_like(y, -1), _PAD_SAMPLE_NAME
         rng = np.random.default_rng((self.seed, epoch, int(index)))
         return self.dataset.get(int(index), rng)
 
@@ -100,8 +110,19 @@ class SegDataLoader:
         self.epoch = epoch + 1
         order = self._order(epoch)
         if self.shard_count > 1:
-            per = len(order) // self.shard_count  # equal across processes
-            order = order[self.shard_index::self.shard_count][:per]
+            if self.pad_last:
+                # cover every sample: round shards UP, pad short shards
+                # with -1 slots (all-ignore samples, excluded from metrics)
+                per = -(-len(order) // self.shard_count)
+                shard = order[self.shard_index :: self.shard_count]
+                if len(shard) < per:
+                    shard = np.concatenate(
+                        [shard, np.full(per - len(shard), -1, shard.dtype)]
+                    )
+                order = shard
+            else:
+                per = len(order) // self.shard_count  # equal across processes
+                order = order[self.shard_index::self.shard_count][:per]
         n = len(order)
         limit = (n // self.batch_size) * self.batch_size if self.drop_last else n
         order = order[:limit]

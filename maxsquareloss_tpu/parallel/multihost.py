@@ -55,22 +55,16 @@ def hierarchical_dp_mesh(ici_size: int | None = None) -> Mesh:
 
 
 def hierarchical_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Global batch sharded over both axes (hierarchical data parallelism)."""
-    return NamedSharding(mesh, P((DCN_AXIS, ICI_AXIS)))
+    """Global batch sharded over both axes (hierarchical data parallelism).
+
+    Delegates to the generic mesh helper so there is exactly one place the
+    batch partition spec is defined (Trainer uses that helper directly;
+    per-host batch slicing lives in the sharded loaders — tools/common.py).
+    """
+    from maxsquareloss_tpu.parallel.mesh import batch_sharding
+
+    return batch_sharding(mesh)
 
 
 def hierarchical_replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
-
-
-def process_local_batch_slice(global_batch: int) -> tuple[int, int]:
-    """(start, size) of this host's slice of the global batch.
-
-    The data loader on each host reads only its shard (per-host sharded file
-    lists — SURVEY.md §7 step 6).
-    """
-    n = jax.process_count()
-    i = jax.process_index()
-    assert global_batch % n == 0, f"batch {global_batch} not divisible by {n} hosts"
-    per = global_batch // n
-    return i * per, per

@@ -210,6 +210,11 @@ class Trainer:
     def train(self):
         stop_iter = self.cfg.effective_iter_stop()
         for epoch in range(self.current_epoch, self.cfg.epoch_num):
+            if int(np.asarray(self.state.iteration)) >= stop_iter:
+                # e.g. resuming a checkpoint already at iter_stop: do NOT
+                # run (and checkpoint) a step past the configured stop
+                self.logger.info("already at iter_stop — nothing to train")
+                break
             self.current_epoch = epoch
             self.train_one_epoch()
             if int(np.asarray(self.state.iteration)) >= stop_iter:

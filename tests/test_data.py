@@ -337,6 +337,42 @@ class TestGrainLoader:
         assert (ys[1:] == -1).all()
 
 
+@pytest.mark.parametrize("loader_kind", ["threads", "grain"])
+def test_val_shards_cover_every_sample_exactly_once(loader_kind):
+    """Multi-host val: shards must score EVERY sample exactly once (the
+    reference evaluates each val sample once), padding short shards with
+    all-ignore samples so processes stay in lockstep."""
+    from maxsquareloss_tpu.data.loader import _PAD_SAMPLE_NAME
+
+    if loader_kind == "grain":
+        from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
+
+        cls, workers = GrainSegLoader, 0
+    else:
+        cls, workers = SegDataLoader, 1
+
+    ds = SyntheticSegDataset(length=10, hw=(8, 8))
+    shards = [
+        cls(ds, batch_size=2, shuffle=False, num_workers=workers,
+            drop_last=False, pad_last=True, shard_index=i, shard_count=3)
+        for i in range(3)
+    ]
+    # lockstep: every shard runs the same number of iterations
+    iters = {s.num_iterations for s in shards}
+    assert iters == {2}
+    seen = []
+    for s in shards:
+        batches = list(s)
+        assert len(batches) == 2
+        for _, ys, names in batches:
+            for y, name in zip(ys, names):
+                if name == _PAD_SAMPLE_NAME:
+                    assert (y == -1).all()  # never reaches the metrics
+                else:
+                    seen.append(name)
+    assert sorted(seen) == [f"synthetic_{i:05d}" for i in range(10)]
+
+
 def test_decode_labels_palette():
     mask = np.array([[0, 18], [-1, 13]], dtype=np.int32)
     rgb = decode_labels(mask)

@@ -11,7 +11,6 @@ from maxsquareloss_tpu.parallel.multihost import (
     hierarchical_batch_sharding,
     hierarchical_dp_mesh,
     hierarchical_replicate,
-    process_local_batch_slice,
 )
 from maxsquareloss_tpu.train.steps import (
     make_supervised_train_step,
@@ -45,9 +44,11 @@ def test_step_on_2d_mesh(rng):
     assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
 
 
-def test_process_local_batch_slice():
-    start, size = process_local_batch_slice(32)
-    assert (start, size) == (0, 32)  # single process owns the whole batch
+def test_hierarchical_batch_sharding_matches_generic():
+    from maxsquareloss_tpu.parallel.mesh import batch_sharding
+
+    mesh = hierarchical_dp_mesh(ici_size=4)
+    assert hierarchical_batch_sharding(mesh) == batch_sharding(mesh)
 
 
 def _make_tiny_dataset(base: str):

@@ -141,3 +141,17 @@ def test_trainer_iter_stop(tmp_path):
     tr = Trainer(cfg, _loader(), None)
     tr.train()
     assert int(np.asarray(tr.state.iteration)) == 3
+
+
+def test_resume_at_iter_stop_trains_no_extra_step(tmp_path):
+    """Resuming a checkpoint already at iter_stop must not advance the
+    iteration (or overwrite the checkpoint with post-stop state)."""
+    cfg = _cfg(tmp_path, epoch_num=10, iter_stop=3)
+    Trainer(cfg, _loader(), None).train()
+    cfg2 = _cfg(
+        tmp_path, epoch_num=10, iter_stop=3, continue_training=True,
+        pretrained_ckpt_file=str(tmp_path / "checkpoint_latest"),
+    )
+    tr2 = Trainer(cfg2, _loader(), None)
+    tr2.main()
+    assert int(np.asarray(tr2.state.iteration)) == 3

@@ -90,9 +90,10 @@ def make_loader(
     # multi-host: cfg.batch_size is the GLOBAL batch; each process loads a
     # disjoint shard of size batch/process_count (SURVEY.md §5.8)
     procs = jax.process_count()
-    assert cfg.batch_size % procs == 0, (
-        f"global batch {cfg.batch_size} not divisible by {procs} processes"
-    )
+    if cfg.batch_size % procs != 0:  # not an assert: must survive python -O
+        raise ValueError(
+            f"global batch {cfg.batch_size} not divisible by {procs} processes"
+        )
     if cfg.loader == "grain":
         from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
 
