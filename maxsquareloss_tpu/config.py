@@ -38,6 +38,11 @@ class TrainConfig:
     space_to_batch: bool = False       # dilated convs as dense parity-subgrid convs
     use_pallas: bool = False           # fused Pallas kernels for max-square losses
     fused_blocks: bool = False         # Pallas fused residual bottleneck blocks
+    # per-compile XLA:TPU options for the jitted steps. 'auto' applies the
+    # measured-best set on TPU backends (scoped VMEM 32M: +3.8% step
+    # throughput — BASELINE.md round-2b sweep) and nothing elsewhere;
+    # '' disables; 'k=v,k=v' sets explicit options.
+    xla_options: str = "auto"
     concat_batches: bool = False       # UDA: one concatenated fwd for src+tgt (frozen BN)
 
     # optimizer (reference defaults: SGD 2.5e-4, momentum .9, wd 5e-4)
@@ -167,6 +172,9 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--fused_blocks", type=str2bool, default=False,
                    help="Pallas fused residual bottleneck blocks (experimental; "
                         "measured slower than XLA convs on v5e — see BASELINE.md)")
+    p.add_argument("--xla_options", default="auto",
+                   help="XLA compiler options for the jitted steps: 'auto' "
+                        "(measured-best on TPU), '' (none), or 'k=v,k=v'")
     p.add_argument("--data_parallel", type=str2bool, default=True)
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first steps")

@@ -77,6 +77,23 @@ def model_config(cfg: TrainConfig, eval_mode: bool = False) -> DeepLabV2Config:
     )
 
 
+def step_compiler_options(cfg: TrainConfig) -> dict[str, str] | None:
+    """Per-compile XLA options for the jitted steps (cfg.xla_options).
+
+    'auto' applies the measured-best set on TPU backends (round-2b sweep,
+    BASELINE.md: scoped VMEM 32M gives +3.8% UDA-step throughput on v5e)
+    and nothing on CPU/GPU; '' disables; 'k=v,k=v' passes explicit options.
+    """
+    spec = cfg.xla_options
+    if not spec:
+        return None
+    if spec == "auto":
+        if jax.default_backend() not in ("tpu", "axon"):
+            return None
+        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    return dict(kv.split("=", 1) for kv in spec.split(","))
+
+
 def _forward_upsampled(params, frozen, x, mcfg, out_hw):
     """Forward + align-corners upsample of both heads to label resolution."""
     aux, main = apply_deeplabv2(params, frozen, x, mcfg)
@@ -190,7 +207,10 @@ def make_supervised_train_step(cfg: TrainConfig, frozen):
     """Source-only supervised step (reference Trainer.train_one_epoch body)."""
     mcfg = model_config(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(
+        jax.jit, donate_argnums=(0,),
+        compiler_options=step_compiler_options(cfg),
+    )
     def step(state: TrainState, x: jax.Array, y: jax.Array):
         lr_mults = lr_mult_tree(state.params)
 
@@ -214,7 +234,10 @@ def make_uda_train_step(cfg: TrainConfig, frozen):
     """
     mcfg = model_config(cfg)
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    @functools.partial(
+        jax.jit, donate_argnums=(0,),
+        compiler_options=step_compiler_options(cfg),
+    )
     def step(state: TrainState, xs: jax.Array, ys: jax.Array, xt: jax.Array):
         lr_mults = lr_mult_tree(state.params)
 
@@ -300,7 +323,7 @@ def make_eval_step(cfg: TrainConfig, frozen, num_eval_classes: int | None = None
     mcfg = model_config(cfg, eval_mode=True)
     n_eval = num_eval_classes or cfg.num_classes
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
     def step(params, x: jax.Array, y: jax.Array):
         _, main = apply_deeplabv2(params, frozen, x, mcfg)
         main = upsample_logits(main, y.shape[-2:])
