@@ -124,3 +124,78 @@ def torch_state_dict_to_pytrees(
             if num_classes is None or head_classes == num_classes:
                 params[head] = cp
     return params, frozen
+
+
+# ------------------------------------------------- reverse: jax → torch ----
+
+
+def _hwio_to_oihw(w: Array) -> Array:
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
+
+
+def _unfold_bn(scale: Array, bias: Array, eps: float = 1e-5) -> dict[str, Array]:
+    """Emit torch BN params that reproduce the folded affine exactly.
+
+    The fold is lossy (4 tensors → 2), but any (gamma, beta, mean, var)
+    with  gamma / sqrt(var + eps) == scale  and  beta - mean * that == bias
+    is functionally identical. Choose mean=0, var=1:
+    gamma = scale * sqrt(1 + eps), beta = bias.
+    """
+    scale = np.asarray(scale, np.float32)
+    bias = np.asarray(bias, np.float32)
+    return {
+        "weight": (scale * np.sqrt(np.float32(1.0 + eps))).astype(np.float32),
+        "bias": bias,
+        "running_mean": np.zeros_like(scale),
+        "running_var": np.ones_like(scale),
+        "num_batches_tracked": np.asarray(0, np.int64),
+    }
+
+
+def pytrees_to_torch_state_dict(
+    params: Mapping[str, Any],
+    frozen: Mapping[str, Any],
+    module_prefix: bool = False,
+) -> dict[str, Array]:
+    """(params, frozen) pytrees → reference-layout torch state_dict.
+
+    Inverse of torch_state_dict_to_pytrees up to the lossy BN fold (the
+    emitted BN params are functionally identical — see _unfold_bn); keys
+    match the reference graphs/models/deeplab101.py module names
+    (conv1/bn1/layerL.B.convK/bnK/downsample.{0,1}/layer{5,6}.conv2d_list.i)
+    so the reference codebase (and tests/torch_oracle.py) can
+    load_state_dict(strict=True) the result. ``module_prefix`` prepends
+    the nn.DataParallel 'module.' the reference's full checkpoints carry.
+    """
+    sd: dict[str, Array] = {}
+
+    def put_bn(prefix: str, bn: Mapping[str, Array]):
+        for k, v in _unfold_bn(bn["scale"], bn["bias"]).items():
+            sd[f"{prefix}.{k}"] = v
+
+    sd["conv1.weight"] = _hwio_to_oihw(params["conv1"]["w"])
+    put_bn("bn1", frozen["bn1"])
+    for li in range(1, 5):
+        layer = f"layer{li}"
+        if layer not in params:
+            continue
+        for bi, (bp, bf) in enumerate(zip(params[layer], frozen[layer])):
+            stem = f"{layer}.{bi}"
+            for ck in ("conv1", "conv2", "conv3"):
+                sd[f"{stem}.{ck}.weight"] = _hwio_to_oihw(bp[ck]["w"])
+                put_bn(f"{stem}.bn{ck[-1]}", bf[f"bn{ck[-1]}"])
+            if "downsample" in bp:
+                sd[f"{stem}.downsample.0.weight"] = _hwio_to_oihw(
+                    bp["downsample"]["w"]
+                )
+                put_bn(f"{stem}.downsample.1", bf["bn_down"])
+    for head in ("layer5", "layer6"):
+        if head not in params:
+            continue
+        for i, conv in enumerate(params[head]["convs"]):
+            stem = f"{head}.conv2d_list.{i}"
+            sd[f"{stem}.weight"] = _hwio_to_oihw(conv["w"])
+            sd[f"{stem}.bias"] = np.asarray(conv["b"], np.float32)
+    if module_prefix:
+        sd = {f"module.{k}": v for k, v in sd.items()}
+    return sd
