@@ -69,6 +69,10 @@ def main():
     cfg = TrainConfig(
         multi=True, num_classes=19, target_mode="IW_maxsquare",
         compute_dtype=args.dtype, batch_size=args.batch, data_parallel=False,
+        # IMPORTANT: disable the config-level option injection — with the
+        # default 'auto', jit-level compiler_options are merged into EVERY
+        # .compile() call and would contaminate the baseline combo
+        xla_options="",
     )
     params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
     rng = np.random.default_rng(0)

@@ -20,7 +20,7 @@ from typing import Iterator
 
 import numpy as np
 
-from maxsquareloss_tpu.data.loader import _PAD_SAMPLE_NAME
+from maxsquareloss_tpu.data.loader import _PAD_SAMPLE_NAME, make_pad_sample
 
 
 class _KeySource:
@@ -114,9 +114,7 @@ class GrainSegLoader:
         class DecodeSample(grain.MapTransform):
             def map(self, key: int):
                 if key < 0:  # shard-padding slot
-                    rng = np.random.default_rng((seed, epoch, 0))
-                    x, y, _ = ds.get(0, rng)
-                    return x, np.full_like(y, -1), _PAD_SAMPLE_NAME
+                    return make_pad_sample(ds, seed, epoch)
                 rng = np.random.default_rng((seed, epoch, int(key)))
                 return ds.get(int(key), rng)
 
@@ -169,10 +167,11 @@ class GrainSegLoader:
                 "grain loader resume replays %d skipped batches through "
                 "decode; use --loader threads for cheap exact resume", skip
             )
-        target_iters = self.num_iterations
+        # NOTE: no trailing all-pad-batch loop is needed — shard-level -1
+        # key padding already makes every shard's stream exactly
+        # num_iterations batches long (per = ceil(n / shard_count) keys).
         batch: list = []
         emitted = 0
-        last_sample = None
 
         def emit(b):
             nonlocal emitted
@@ -182,7 +181,6 @@ class GrainSegLoader:
             return None
 
         for sample in self._build(epoch):
-            last_sample = sample
             batch.append(sample)
             if len(batch) == self.batch_size:
                 out = emit(batch)
@@ -191,27 +189,12 @@ class GrainSegLoader:
                 batch = []
         if batch and not self.drop_last:
             if self.pad_last and len(batch) < self.batch_size:
-                batch += [self._pad_from(batch[-1])] * (
-                    self.batch_size - len(batch)
-                )
+                x_last, y_last, _ = batch[-1]
+                pad = (x_last, np.full_like(y_last, -1), _PAD_SAMPLE_NAME)
+                batch += [pad] * (self.batch_size - len(batch))
             out = emit(batch)
             if out is not None:
                 yield out
-        # short shard (val, multi-host): emit all-pad batches so every
-        # process runs the same number of lockstep iterations
-        while self.pad_last and emitted < target_iters:
-            if last_sample is None:
-                rng = np.random.default_rng((self.seed, epoch, 0))
-                last_sample = self.dataset.get(0, rng)
-            pad = self._pad_from(last_sample)
-            out = emit([pad] * self.batch_size)
-            if out is not None:
-                yield out
-
-    @staticmethod
-    def _pad_from(sample):
-        x_last, y_last, _ = sample
-        return (x_last, np.full_like(y_last, -1), _PAD_SAMPLE_NAME)
 
     @staticmethod
     def _stack(batch):

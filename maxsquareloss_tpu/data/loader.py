@@ -27,6 +27,15 @@ import numpy as np
 _PAD_SAMPLE_NAME = "<pad>"
 
 
+def make_pad_sample(dataset, seed: int, epoch: int):
+    """The canonical padding sample both loaders use for batch/shard slots:
+    sample 0's image with ALL-IGNORE labels, so pads never reach the
+    confusion matrix (the reference evaluates each val sample exactly once)."""
+    rng = np.random.default_rng((seed, epoch, 0))
+    x, y, _ = dataset.get(0, rng)
+    return x, np.full_like(y, -1), _PAD_SAMPLE_NAME
+
+
 class SegDataLoader:
     """Iterates a SegDataset in shuffled batches of stacked numpy arrays.
 
@@ -94,10 +103,8 @@ class SegDataLoader:
         return idx
 
     def _sample(self, index: int, epoch: int):
-        if index < 0:  # shard-padding slot: all-ignore labels, never scored
-            rng = np.random.default_rng((self.seed, epoch, 0))
-            x, y, _ = self.dataset.get(0, rng)
-            return x, np.full_like(y, -1), _PAD_SAMPLE_NAME
+        if index < 0:  # shard-padding slot
+            return make_pad_sample(self.dataset, self.seed, epoch)
         rng = np.random.default_rng((self.seed, epoch, int(index)))
         return self.dataset.get(int(index), rng)
 

@@ -91,7 +91,17 @@ def step_compiler_options(cfg: TrainConfig) -> dict[str, str] | None:
         if jax.default_backend() not in ("tpu", "axon"):
             return None
         return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
-    return dict(kv.split("=", 1) for kv in spec.split(","))
+    opts: dict[str, str] = {}
+    for kv in spec.split(","):
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(
+                f"--xla_options entry {kv!r} is not of the form key=value"
+            )
+        k, v = kv.split("=", 1)
+        opts[k] = v
+    return opts
 
 
 def _forward_upsampled(params, frozen, x, mcfg, out_hw):

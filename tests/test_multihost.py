@@ -44,11 +44,17 @@ def test_step_on_2d_mesh(rng):
     assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
 
 
-def test_hierarchical_batch_sharding_matches_generic():
-    from maxsquareloss_tpu.parallel.mesh import batch_sharding
+def test_hierarchical_batch_sharding_partitions_batch_over_both_axes():
+    from jax.sharding import PartitionSpec as P
 
     mesh = hierarchical_dp_mesh(ici_size=4)
-    assert hierarchical_batch_sharding(mesh) == batch_sharding(mesh)
+    spec = hierarchical_batch_sharding(mesh).spec
+    # the multi-host contract: batch dim 0 sharded over (dcn, ici)
+    assert tuple(spec) and set(spec[0]) == {"dcn", "ici"}
+    x = jax.device_put(np.zeros((8, 4), np.float32),
+                       hierarchical_batch_sharding(mesh))
+    assert len(x.addressable_shards) == 8
+    assert all(s.data.shape == (1, 4) for s in x.addressable_shards)
 
 
 def _make_tiny_dataset(base: str):
