@@ -51,6 +51,8 @@ def main():
                    help="fused Pallas kernels for the target loss")
     p.add_argument("--concat", action="store_true",
                    help="UDA: concatenated source+target forward")
+    p.add_argument("--xla_options", default="auto",
+                   help="XLA compiler options ('auto' | '' | 'k=v,k=v')")
     args = p.parse_args()
 
     import jax
@@ -76,6 +78,7 @@ def main():
         space_to_batch=args.s2b,
         use_pallas=args.pallas,
         concat_batches=args.concat,
+        xla_options=args.xla_options,
         batch_size=args.batch,
         data_parallel=n_chips > 1,
     )
