@@ -42,6 +42,31 @@ COMBOS = {
         "xla_tpu_scoped_vmem_limit_kib": "32768",
         "xla_tpu_rwb_fusion": "false",
     },
+    # round-2b broad sweep: candidates stacked on the winning vmem32m
+    "v32+copyfuse": {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_enable_copy_fusion": "true",
+    },
+    "v32+allsched": {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_enable_all_experimental_scheduler_features": "true",
+    },
+    "v32+bundlecost": {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_use_bundle_aware_cost_model_for_fusions": "true",
+    },
+    "v32+lhsrerun": {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_latency_hiding_scheduler_rerun": "3",
+    },
+    "v32+exhfusion": {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_enable_experimental_exhaustive_output_fusion": "true",
+    },
+    "v32+licm2": {
+        "xla_tpu_scoped_vmem_limit_kib": "32768",
+        "xla_tpu_licm_size_inflation_ratio": "2",
+    },
 }
 
 
