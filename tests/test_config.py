@@ -85,3 +85,16 @@ def test_train_id_checkpoint_dir_shim(tmp_path):
     assert cfg.checkpoint_dir == os.path.join(
         str(tmp_path), "gta5_deeplabv2_multi_IW_maxsquare"
     )
+
+
+def test_xla_options_flag(tmp_path):
+    args = _parse(["--checkpoint_dir", str(tmp_path),
+                   "--xla_options", "xla_tpu_scoped_vmem_limit_kib=16384"])
+    cfg = config_from_args(args)
+    from maxsquareloss_tpu.train.steps import step_compiler_options
+
+    assert step_compiler_options(cfg) == {
+        "xla_tpu_scoped_vmem_limit_kib": "16384"
+    }
+    # 'auto' resolves to None on the CPU test backend, real options on TPU
+    assert step_compiler_options(TrainConfig()) is None
