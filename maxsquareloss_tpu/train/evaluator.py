@@ -22,7 +22,7 @@ from maxsquareloss_tpu.metrics import Eval
 from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2
 from maxsquareloss_tpu.ops.resize import resize_bilinear_align_corners, upsample_logits
 from maxsquareloss_tpu.parallel.mesh import batch_sharding
-from maxsquareloss_tpu.train.steps import model_config
+from maxsquareloss_tpu.train.steps import model_config, step_compiler_options
 
 
 def make_multiscale_eval_step(
@@ -36,7 +36,7 @@ def make_multiscale_eval_step(
     n_eval = num_eval_classes or cfg.num_classes
     scales = tuple(float(s) for s in scales)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
     def step(params, x: jax.Array, y: jax.Array):
         h, w = x.shape[1], x.shape[2]
         out_hw = (y.shape[1], y.shape[2])

@@ -16,6 +16,8 @@ the tool iterates a split list of images, runs single- or multi-scale
 
 from __future__ import annotations
 
+import functools
+
 import argparse
 import os
 import sys
@@ -37,7 +39,7 @@ from maxsquareloss_tpu.ops.resize import (
     upsample_logits,
 )
 from maxsquareloss_tpu.train import checkpoint as ckpt_lib
-from maxsquareloss_tpu.train.steps import model_config
+from maxsquareloss_tpu.train.steps import model_config, step_compiler_options
 from maxsquareloss_tpu.utils.logging import setup_logger
 from tools.common import default_paths
 
@@ -47,7 +49,7 @@ def make_predict_step(cfg, frozen, scales, flip, out_hw):
     mcfg = model_config(cfg, eval_mode=True)
     scales = tuple(float(s) for s in scales)
 
-    @jax.jit
+    @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
     def step(params, x):
         h, w = x.shape[1], x.shape[2]
 
