@@ -133,7 +133,9 @@ def _hwio_to_oihw(w: Array) -> Array:
     return np.ascontiguousarray(np.transpose(np.asarray(w), (3, 2, 0, 1)))
 
 
-def _unfold_bn(scale: Array, bias: Array, eps: float = 1e-5) -> dict[str, Array]:
+def _unfold_bn(
+    scale: Array, bias: Array, eps: float | None = None
+) -> dict[str, Array]:
     """Emit torch BN params that reproduce the folded affine exactly.
 
     The fold is lossy (4 tensors → 2), but any (gamma, beta, mean, var)
@@ -141,6 +143,10 @@ def _unfold_bn(scale: Array, bias: Array, eps: float = 1e-5) -> dict[str, Array]
     is functionally identical. Choose mean=0, var=1:
     gamma = scale * sqrt(1 + eps), beta = bias.
     """
+    if eps is None:
+        from maxsquareloss_tpu.models.layers import BN_EPS
+
+        eps = BN_EPS  # must match the fold side or the round-trip drifts
     scale = np.asarray(scale, np.float32)
     bias = np.asarray(bias, np.float32)
     return {

@@ -15,7 +15,6 @@ per-epoch sampler seed — bit-reproducible for any worker count.
 
 from __future__ import annotations
 
-import logging
 from typing import Iterator
 
 import numpy as np
@@ -106,7 +105,7 @@ class GrainSegLoader:
 
     # ----------------------------------------------------------------------
 
-    def _build(self, epoch: int):
+    def _build(self, epoch: int, skip_batches: int = 0):
         import grain.python as grain
 
         ds, seed = self.dataset, self.seed
@@ -146,6 +145,40 @@ class GrainSegLoader:
             seed=(self.seed * 1_000_003 + epoch) % (2**31 - 1),
             num_epochs=1,
         )
+        if skip_batches:
+            # Exact mid-epoch resume WITHOUT decoding the skipped samples:
+            # the IndexSampler is random-access, so enumerate this shard's
+            # visit order (record metadata only — no decode), drop the first
+            # skip_batches*batch_size positions, and replay the tail through
+            # a sequential sampler over the already-shuffled dataset keys.
+            # Per-sample aug RNG is keyed by (seed, epoch, dataset_key), so
+            # the tail is bit-identical to the uninterrupted epoch's tail
+            # (mirrors SegDataLoader's index-slice resume).
+            if isinstance(shard_options, grain.NoSharding):
+                per = len(source)
+                idxs = range(per)
+            else:
+                per = (
+                    len(source) // self.shard_count
+                    if self.shard_count > 1
+                    else len(source)
+                )
+                idxs = range(
+                    self.shard_index,
+                    self.shard_index + per * self.shard_count,
+                    self.shard_count,
+                )
+            order = [source[sampler[i].record_key] for i in idxs]
+            order = order[skip_batches * self.batch_size :]
+            if not order:
+                return None
+            source = _KeySource(order)
+            sampler = grain.IndexSampler(
+                num_records=len(source),
+                shard_options=grain.NoSharding(),
+                shuffle=False,
+                num_epochs=1,
+            )
         return grain.DataLoader(
             data_source=source,
             sampler=sampler,
@@ -158,43 +191,24 @@ class GrainSegLoader:
         self.epoch = epoch + 1
         skip = self._skip_batches
         self._skip_batches = 0
-        if skip:
-            # grain's sampler has no index offset: the skipped batches are
-            # decoded and discarded (exact, but pays decode cost). The
-            # thread loader slices the index order instead — prefer
-            # --loader threads when cheap exact mid-epoch resume matters.
-            logging.getLogger("maxsquareloss_tpu").warning(
-                "grain loader resume replays %d skipped batches through "
-                "decode; use --loader threads for cheap exact resume", skip
-            )
+        loader = self._build(epoch, skip_batches=skip)
+        if loader is None:  # resume consumed the whole epoch
+            return
         # NOTE: no trailing all-pad-batch loop is needed — shard-level -1
         # key padding already makes every shard's stream exactly
         # num_iterations batches long (per = ceil(n / shard_count) keys).
         batch: list = []
-        emitted = 0
-
-        def emit(b):
-            nonlocal emitted
-            emitted += 1
-            if emitted > skip:
-                return self._stack(b)
-            return None
-
-        for sample in self._build(epoch):
+        for sample in loader:
             batch.append(sample)
             if len(batch) == self.batch_size:
-                out = emit(batch)
-                if out is not None:
-                    yield out
+                yield self._stack(batch)
                 batch = []
         if batch and not self.drop_last:
             if self.pad_last and len(batch) < self.batch_size:
                 x_last, y_last, _ = batch[-1]
                 pad = (x_last, np.full_like(y_last, -1), _PAD_SAMPLE_NAME)
                 batch += [pad] * (self.batch_size - len(batch))
-            out = emit(batch)
-            if out is not None:
-                yield out
+            yield self._stack(batch)
 
     @staticmethod
     def _stack(batch):

@@ -30,10 +30,20 @@ _PAD_SAMPLE_NAME = "<pad>"
 def make_pad_sample(dataset, seed: int, epoch: int):
     """The canonical padding sample both loaders use for batch/shard slots:
     sample 0's image with ALL-IGNORE labels, so pads never reach the
-    confusion matrix (the reference evaluates each val sample exactly once)."""
+    confusion matrix (the reference evaluates each val sample exactly once).
+
+    The decoded sample is memoized on the dataset per (seed, epoch) — pad
+    slots only need the array shapes/dtypes plus a deterministic image, so
+    re-decoding sample 0 for every slot is wasted work (ADVICE r2)."""
+    key = (seed, epoch)
+    cached = getattr(dataset, "_pad_sample_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
     rng = np.random.default_rng((seed, epoch, 0))
     x, y, _ = dataset.get(0, rng)
-    return x, np.full_like(y, -1), _PAD_SAMPLE_NAME
+    sample = (x, np.full_like(y, -1), _PAD_SAMPLE_NAME)
+    dataset._pad_sample_cache = (key, sample)
+    return sample
 
 
 class SegDataLoader:

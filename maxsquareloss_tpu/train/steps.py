@@ -93,6 +93,7 @@ def step_compiler_options(cfg: TrainConfig) -> dict[str, str] | None:
         return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
     opts: dict[str, str] = {}
     for kv in spec.split(","):
+        kv = kv.strip()
         if not kv:
             continue
         if "=" not in kv:
@@ -100,7 +101,7 @@ def step_compiler_options(cfg: TrainConfig) -> dict[str, str] | None:
                 f"--xla_options entry {kv!r} is not of the form key=value"
             )
         k, v = kv.split("=", 1)
-        opts[k] = v
+        opts[k.strip()] = v.strip()
     return opts
 
 

@@ -87,14 +87,27 @@ def test_train_id_checkpoint_dir_shim(tmp_path):
     )
 
 
-def test_xla_options_flag(tmp_path):
+def test_xla_options_flag(tmp_path, monkeypatch):
     args = _parse(["--checkpoint_dir", str(tmp_path),
                    "--xla_options", "xla_tpu_scoped_vmem_limit_kib=16384"])
     cfg = config_from_args(args)
+    from maxsquareloss_tpu.train import steps
     from maxsquareloss_tpu.train.steps import step_compiler_options
 
     assert step_compiler_options(cfg) == {
         "xla_tpu_scoped_vmem_limit_kib": "16384"
     }
-    # 'auto' resolves to None on the CPU test backend, real options on TPU
+    # explicit options tolerate whitespace around entries and keys/values
+    cfg2 = config_from_args(_parse([
+        "--checkpoint_dir", str(tmp_path),
+        "--xla_options", "a=1, b = 2 ,",
+    ]))
+    assert step_compiler_options(cfg2) == {"a": "1", "b": "2"}
+    # 'auto' is backend-dependent: pin both branches via monkeypatch so the
+    # test passes identically on CPU and TPU-attached hosts (ADVICE r2)
+    monkeypatch.setattr(steps.jax, "default_backend", lambda: "cpu")
     assert step_compiler_options(TrainConfig()) is None
+    monkeypatch.setattr(steps.jax, "default_backend", lambda: "tpu")
+    assert step_compiler_options(TrainConfig()) == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"
+    }

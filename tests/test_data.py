@@ -321,6 +321,49 @@ class TestGrainLoader:
             np.testing.assert_array_equal(xa, xb)
             assert na == nb
 
+    def test_set_skip_does_not_decode_skipped_samples(self):
+        """Resume must be an index offset (like the thread loader), not a
+        decode-and-discard replay (VERDICT r2 weak #7)."""
+        from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
+
+        ds = SyntheticSegDataset(length=12, hw=(8, 8))
+        decoded: list[int] = []
+        orig_get = ds.get
+        ds.get = lambda i, rng=None: (decoded.append(i), orig_get(i, rng))[1]
+        g = GrainSegLoader(ds, batch_size=4, num_workers=0, seed=5, shuffle=True)
+        full_names = [n for _, _, ns in g for n in ns]
+        decoded.clear()
+        g.set_epoch(0)
+        g.set_skip(2)
+        tail_names = [n for _, _, ns in g for n in ns]
+        assert tail_names == full_names[8:]
+        skipped = {int(n.split("_")[1]) for n in full_names[:8]}
+        assert not (set(decoded) & skipped), "skipped samples were decoded"
+
+    def test_set_skip_whole_epoch_yields_nothing(self):
+        _, g = self._pair(shuffle=True)
+        g.set_skip(3)  # 12 samples / batch 4 = 3 batches
+        assert list(g) == []
+
+    @pytest.mark.parametrize("pad_last", [False, True])
+    def test_set_skip_sharded_reproduces_tail(self, pad_last):
+        from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
+
+        ds = SyntheticSegDataset(length=10, hw=(8, 8))
+        kw = dict(batch_size=2, num_workers=0, seed=7, shuffle=True,
+                  drop_last=not pad_last, pad_last=pad_last,
+                  shard_index=1, shard_count=3)
+        g = GrainSegLoader(ds, **kw)
+        full = list(g)
+        g.set_epoch(0)
+        g.set_skip(1)
+        tail = list(g)
+        assert len(tail) == len(full) - 1
+        for (xa, ya, na), (xb, yb, nb) in zip(full[1:], tail):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+            assert na == nb
+
     def test_pad_last_ignore_labels(self):
         from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
 
