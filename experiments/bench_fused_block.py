@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from maxsquareloss_tpu.models.deeplabv2 import _bottleneck
-from maxsquareloss_tpu.pallas.fused_block import fused_bottleneck
+from experiments.retired_pallas.fused_block import fused_bottleneck
 
 LAYERS = {
     # layer: (H, W, Cin, Cmid, d)

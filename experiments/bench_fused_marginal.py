@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from maxsquareloss_tpu.models.deeplabv2 import _bottleneck
-from maxsquareloss_tpu.pallas.fused_block import fused_bottleneck
+from experiments.retired_pallas.fused_block import fused_bottleneck
 
 LAYERS = {
     1: (129, 257, 256, 64, 1),

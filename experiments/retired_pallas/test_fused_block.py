@@ -15,7 +15,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from maxsquareloss_tpu.models.deeplabv2 import _bottleneck
-from maxsquareloss_tpu.pallas.fused_block import fused_bottleneck
+from experiments.retired_pallas.fused_block import fused_bottleneck
 
 
 def _make_case(rng, n, h, w, cin, cmid):

@@ -12,7 +12,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from maxsquareloss_tpu.ops.histogram import class_histogram, iw_class_weights
 from maxsquareloss_tpu.ops.losses import iw_max_square_loss, max_square_loss
-from maxsquareloss_tpu.pallas.fused_loss import (
+from experiments.retired_pallas.fused_loss import (
     fused_iw_max_square_loss,
     fused_max_square_loss,
 )

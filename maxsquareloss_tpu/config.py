@@ -35,9 +35,6 @@ class TrainConfig:
     freeze_bn: bool = True
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16'
     remat: str = ""                    # '' | 'stages'
-    space_to_batch: bool = False       # dilated convs as dense parity-subgrid convs
-    use_pallas: bool = False           # fused Pallas kernels for max-square losses
-    fused_blocks: bool = False         # Pallas fused residual bottleneck blocks
     # per-compile XLA:TPU options for the jitted steps. 'auto' applies the
     # measured-best set on TPU backends (scoped VMEM 32M: +3.8% step
     # throughput — BASELINE.md round-2b sweep) and nothing elsewhere;
@@ -169,9 +166,6 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--remat", default="", choices=("", "stages"))
-    p.add_argument("--fused_blocks", type=str2bool, default=False,
-                   help="Pallas fused residual bottleneck blocks (experimental; "
-                        "measured slower than XLA convs on v5e — see BASELINE.md)")
     p.add_argument("--xla_options", default="auto",
                    help="XLA compiler options for the jitted steps: 'auto' "
                         "(measured-best on TPU), '' (none), or 'k=v,k=v'")

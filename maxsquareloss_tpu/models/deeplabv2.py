@@ -57,18 +57,15 @@ class DeepLabV2Config:
     # remat ('') | 'stages': checkpoint each ResNet stage to trade FLOPs for
     # HBM at 1024x512 / OS=8 activation sizes (SURVEY.md §5.7).
     remat: str = ""
-    # rewrite dilated convs as dense convs over parity subgrids (exact)
-    space_to_batch: bool = False
     # ASPP forward as one fat matmul + shifted accumulation (exact; see
     # layers.aspp_sum). A clear win for forward-only graphs (+22% measured
     # inference) but ~1.3 ms/step slower inside the fused train step, so
     # eval/predict paths enable it and train steps keep the conv form.
     aspp_matmul: bool = False
-    # Stride-1 identity-residual bottlenecks as ONE Pallas kernel with
-    # VMEM-resident intermediates (pallas/fused_block.py) — removes the
-    # HBM round-trips that pin the 1x1 convs to the bandwidth roofline
-    # (BASELINE.md round-2 micro-benchmark). TPU only.
-    fused_blocks: bool = False
+    # Retired transformations (space_to_batch dilated convs, Pallas fused
+    # bottleneck blocks / fused losses) live under experiments/retired_pallas
+    # with their measurements — all exact, all slower than XLA's lowering on
+    # v5e (BASELINE.md ablations).
 
 
 # ---------------------------------------------------------------- init ----
@@ -151,7 +148,6 @@ def _bottleneck(
     x: jax.Array,
     stride: int,
     dilation: int,
-    s2b: bool = False,
     mask: jax.Array | None = None,
 ) -> jax.Array:
     residual = x
@@ -162,7 +158,7 @@ def _bottleneck(
         # 1x1 conv; re-zero it before the spatial conv so border reads stay
         # exactly the zero padding the unpadded forward would see
         y = y * mask.astype(y.dtype)
-    y = conv2d(y, p["conv2"]["w"], padding=dilation, dilation=dilation, space_to_batch=s2b)
+    y = conv2d(y, p["conv2"]["w"], padding=dilation, dilation=dilation)
     y = jax.nn.relu(frozen_bn(y, **f["bn2"]))
     y = conv2d(y, p["conv3"]["w"])
     y = frozen_bn(y, **f["bn3"])
@@ -177,58 +173,17 @@ def _stage(
     x: jax.Array,
     stride: int,
     dilation: int,
-    s2b: bool = False,
     mask: jax.Array | None = None,
-    fused: bool = False,
 ) -> jax.Array:
-    """One ResNet stage. With ``fused``, runs of eligible blocks (stride 1,
-    identity residual) execute as Pallas fused-bottleneck kernels chained
-    inside a shared padded-W domain — padded/sliced once per run, with the
-    mid-block activations never leaving the padded layout
-    (pallas/fused_block.py)."""
-    if fused:
-        from maxsquareloss_tpu.pallas import fused_block as fb
-
-    w_valid = x.shape[2]
-    padded = False
+    """One ResNet stage (first block carries the stride/downsample)."""
     for bi, (p, f) in enumerate(zip(ps, fs)):
-        block_stride = stride if bi == 0 else 1
-        eligible = (
-            fused
-            and block_stride == 1
-            and "downsample" not in p
-            and mask is None
-            and not s2b
-            # lane tiling: compiled DMA needs the wide channels 128-aligned
-            and x.shape[-1] % 128 == 0
-        )
-        if eligible:
-            if not padded:
-                w_valid = x.shape[2]
-                x = fb.pad_for_fused(x, dilation)
-                padded = True
-            x = fb.fused_bottleneck_padded(
-                x,
-                p["conv1"]["w"], p["conv2"]["w"], p["conv3"]["w"],
-                f["bn1"]["scale"], f["bn1"]["bias"],
-                f["bn2"]["scale"], f["bn2"]["bias"],
-                f["bn3"]["scale"], f["bn3"]["bias"],
-                dilation, w_valid,
-            )
-        else:
-            if padded:
-                x = fb.unpad_from_fused(x, w_valid)
-                padded = False
-            x = _bottleneck(p, f, x, block_stride, dilation, s2b, mask)
-    if padded:
-        x = fb.unpad_from_fused(x, w_valid)
+        x = _bottleneck(p, f, x, stride if bi == 0 else 1, dilation, mask)
     return x
 
 
 def _classifier(
     p: Params,
     x: jax.Array,
-    s2b: bool = False,
     mask: jax.Array | None = None,
     matmul: bool = False,
 ) -> jax.Array:
@@ -238,7 +193,7 @@ def _classifier(
     # forward-only graphs (eval/predict, +22% measured).
     if mask is not None:
         x = x * mask.astype(x.dtype)
-    if matmul and not s2b:
+    if matmul:
         return aspp_sum(
             x,
             [conv["w"] for conv in p["convs"]],
@@ -247,7 +202,7 @@ def _classifier(
         )
     out = None
     for conv, d in zip(p["convs"], ASPP_DILATIONS):
-        y = conv2d(x, conv["w"], padding=d, dilation=d, bias=conv["b"], space_to_batch=s2b)
+        y = conv2d(x, conv["w"], padding=d, dilation=d, bias=conv["b"])
         out = y if out is None else out + y
     return out
 
@@ -362,9 +317,7 @@ def apply_deeplabv2(
                 y,
                 LAYER_STRIDES[li],
                 LAYER_DILATIONS[li],
-                cfg.space_to_batch,
                 stage_masks[li],
-                cfg.fused_blocks,
             )
 
         return jax.checkpoint(run) if cfg.remat == "stages" else run
@@ -374,16 +327,12 @@ def apply_deeplabv2(
     y3 = stage_fn(2)(y)
     head_mask = None if masks is None else masks["os8"]
     aux = (
-        _classifier(
-            params["layer5"], y3, cfg.space_to_batch, head_mask, cfg.aspp_matmul
-        )
+        _classifier(params["layer5"], y3, head_mask, cfg.aspp_matmul)
         if cfg.multi_level
         else None
     )
     y4 = stage_fn(3)(y3)
-    main = _classifier(
-        params["layer6"], y4, cfg.space_to_batch, head_mask, cfg.aspp_matmul
-    )
+    main = _classifier(params["layer6"], y4, head_mask, cfg.aspp_matmul)
     if aux is not None:
         aux = aux.astype(jnp.float32)
     return aux, main.astype(jnp.float32)

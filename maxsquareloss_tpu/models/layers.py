@@ -30,16 +30,14 @@ def conv2d(
     padding: int = 0,
     dilation: int = 1,
     bias: jax.Array | None = None,
-    space_to_batch: bool = False,
 ) -> jax.Array:
     """2-D convolution, torch Conv2d semantics (symmetric int padding).
 
-    ``space_to_batch=True`` rewrites a stride-1 dilated conv as dense convs
-    over the d x d parity subgrids (exact identity) — dense 3x3 convs can
-    tile onto the MXU better than rhs-dilated ones.
+    Dilated convs lower directly via rhs_dilation — XLA:TPU runs them at
+    93-103% of nominal conv peak on long chains (BASELINE.md); the exact
+    space-to-batch rewrite was measured slower and retired to
+    experiments/retired_pallas.
     """
-    if space_to_batch and dilation > 1 and stride == 1 and padding == dilation:
-        return _conv2d_dilated_s2b(x, w, dilation, bias)
     y = jax.lax.conv_general_dilated(
         x,
         w.astype(x.dtype),
@@ -48,40 +46,6 @@ def conv2d(
         rhs_dilation=(dilation, dilation),
         dimension_numbers=CONV_DIMS,
     )
-    if bias is not None:
-        y = y + bias.astype(y.dtype)
-    return y
-
-
-def _conv2d_dilated_s2b(
-    x: jax.Array, w: jax.Array, d: int, bias: jax.Array | None
-) -> jax.Array:
-    """Dilated (stride 1, padding=d) conv via space-to-batch parity subgrids.
-
-    conv(x, w, dilation=d)[h, w] only mixes pixels of the same (h%d, w%d)
-    parity, so it equals a DENSE conv run independently on each of the d*d
-    subsampled grids with padding 1.
-    """
-    n, h, ww_, c = x.shape
-    ph = (-h) % d
-    pw = (-ww_) % d
-    if ph or pw:
-        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
-    hp, wp = x.shape[1], x.shape[2]
-    # (N, H/d, d, W/d, d, C) → (d*d*N, H/d, W/d, C)
-    xs = x.reshape(n, hp // d, d, wp // d, d, c)
-    xs = xs.transpose(2, 4, 0, 1, 3, 5).reshape(d * d * n, hp // d, wp // d, c)
-    ys = jax.lax.conv_general_dilated(
-        xs,
-        w.astype(x.dtype),
-        window_strides=(1, 1),
-        padding=((1, 1), (1, 1)),
-        dimension_numbers=CONV_DIMS,
-    )
-    co = ys.shape[-1]
-    ys = ys.reshape(d, d, n, hp // d, wp // d, co)
-    y = ys.transpose(2, 3, 0, 4, 1, 5).reshape(n, hp, wp, co)
-    y = y[:, :h, :ww_]
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y

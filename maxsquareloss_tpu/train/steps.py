@@ -71,9 +71,7 @@ def model_config(cfg: TrainConfig, eval_mode: bool = False) -> DeepLabV2Config:
         blocks=tuple(cfg.blocks),
         compute_dtype=cfg.dtype,
         remat=cfg.remat,
-        space_to_batch=cfg.space_to_batch,
         aspp_matmul=eval_mode,
-        fused_blocks=cfg.fused_blocks,
     )
 
 
@@ -129,17 +127,12 @@ def target_loss_fn(
     prob_main: jax.Array,
     prob_aux: jax.Array | None,
     cfg: TrainConfig,
-    logits_main: jax.Array | None = None,
 ) -> tuple[jax.Array, jax.Array | None, dict[str, jax.Array]]:
     """Mode-dispatched target loss (reference target_mode branch, §3.2).
 
     Returns (target_loss, guidance_label_or_None, metrics). With multi-level
     guidance the pseudo-label from the head ensemble feeds both the IW
     histogram and the aux head's hard CE.
-
-    When ``cfg.use_pallas`` and ``logits_main`` is given, the max-square
-    modes run the fused Pallas kernels (softmax+square+IW-weighting+reduce
-    in one VMEM-resident pass — pallas/fused_loss.py).
     """
     c = prob_main.shape[-1]
     label = None
@@ -149,33 +142,10 @@ def target_loss_fn(
         )
     metrics: dict[str, jax.Array] = {}
     mode = cfg.target_mode
-    pallas_ok = cfg.use_pallas and logits_main is not None
     if mode == "maxsquare":
-        if pallas_ok:
-            from maxsquareloss_tpu.pallas.fused_loss import fused_max_square_loss
-
-            loss = fused_max_square_loss(logits_main)
-        else:
-            loss = max_square_loss(prob_main)
+        loss = max_square_loss(prob_main)
     elif mode == "IW_maxsquare":
-        if pallas_ok:
-            from maxsquareloss_tpu.ops.histogram import (
-                class_histogram,
-                iw_class_weights,
-            )
-            from maxsquareloss_tpu.pallas.fused_loss import (
-                fused_iw_max_square_loss,
-            )
-
-            count_label = (
-                label
-                if label is not None
-                else jnp.argmax(prob_main, axis=-1).astype(jnp.int32)
-            )
-            w = iw_class_weights(class_histogram(count_label, c), cfg.ratio)
-            loss = fused_iw_max_square_loss(logits_main, w)
-        else:
-            loss = iw_max_square_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
+        loss = iw_max_square_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
     elif mode == "entropy":
         loss = entropy_loss(prob_main)
     elif mode == "IW_entropy":
@@ -303,9 +273,7 @@ def make_uda_train_step(cfg: TrainConfig, frozen):
                 )
             prob_main = jax.nn.softmax(main_t, axis=-1)
             prob_aux = jax.nn.softmax(aux_t, axis=-1) if aux_t is not None else None
-            tgt_loss, label, tmetrics = target_loss_fn(
-                prob_main, prob_aux, cfg, logits_main=main_t
-            )
+            tgt_loss, label, tmetrics = target_loss_fn(prob_main, prob_aux, cfg)
             metrics.update(tmetrics)
             total = src_loss + cfg.lambda_target * tgt_loss
             if aux_t is not None and label is not None:

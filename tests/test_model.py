@@ -164,26 +164,5 @@ def test_lr_mult_tree():
     assert all(m == 1.0 for m in jax.tree.leaves(mults["conv1"]))
 
 
-def test_space_to_batch_conv_parity(rng):
-    """Dilated conv == dense conv on parity subgrids (exact identity)."""
-    import jax as _jax
-    from maxsquareloss_tpu.models.layers import conv2d
-
-    for d, h, w in [(2, 17, 23), (4, 16, 20), (6, 65, 129), (24, 65, 129)]:
-        x = jnp.asarray(rng.standard_normal((2, h, w, 8), dtype=np.float32))
-        k = jnp.asarray(rng.standard_normal((3, 3, 8, 5), dtype=np.float32))
-        ref = conv2d(x, k, padding=d, dilation=d)
-        s2b = conv2d(x, k, padding=d, dilation=d, space_to_batch=True)
-        np.testing.assert_allclose(np.asarray(s2b), np.asarray(ref), atol=1e-5)
-
-
-def test_model_s2b_parity(rng):
-    model = make_oracle(layers=SMALL)
-    x = rng.standard_normal((1, 3, 65, 97), dtype=np.float32)
-    params, frozen = _to_pytrees(model, SMALL)
-    xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
-    base = DeepLabV2Config(blocks=SMALL, multi_level=True)
-    s2b = DeepLabV2Config(blocks=SMALL, multi_level=True, space_to_batch=True)
-    _, main_a = apply_deeplabv2(params, frozen, xj, base)
-    _, main_b = apply_deeplabv2(params, frozen, xj, s2b)
-    np.testing.assert_allclose(np.asarray(main_b), np.asarray(main_a), atol=1e-4)
+# space_to_batch / fused-block parity tests moved with their retired
+# implementations to experiments/retired_pallas (see BASELINE.md ablations).
