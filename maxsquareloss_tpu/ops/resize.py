@@ -51,22 +51,33 @@ def interp_matrix(out_size: int, in_size: int, dtype=jnp.float32) -> jax.Array:
     return jnp.asarray(_interp_matrix_np(out_size, in_size), dtype=dtype)
 
 
-def resize_bilinear_align_corners(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
+def resize_bilinear_align_corners(
+    x: jax.Array,
+    out_hw: tuple[int, int],
+    h_rows: tuple[int, int] | None = None,
+) -> jax.Array:
     """Bilinear align_corners=True resize of NHWC (or HWC / NCHW-free) images.
 
     Args:
       x: (..., H, W, C) array; interpolation runs over the -3/-2 axes.
       out_hw: static (H_out, W_out).
+      h_rows: optional static (r0, r1) — produce only output rows [r0, r1)
+        of the full (H_out, W_out) result. EXACT row-streaming: the H
+        interpolation is a matmul with a (H_out, H_in) matrix, so a row
+        block is just its [r0:r1] slice. Lets callers keep huge upsampled
+        tensors (full-res eval: N x 2048 x 1024 x C) out of HBM.
 
     Matches ``torch.nn.functional.interpolate(mode='bilinear',
     align_corners=True)`` to fp32 rounding.
     """
     h_out, w_out = int(out_hw[0]), int(out_hw[1])
     h_in, w_in = x.shape[-3], x.shape[-2]
-    if (h_in, w_in) == (h_out, w_out):
+    if (h_in, w_in) == (h_out, w_out) and h_rows is None:
         return x
     dtype = x.dtype if jnp.issubdtype(x.dtype, jnp.floating) else jnp.float32
     wh = interp_matrix(h_out, h_in, dtype)  # (Ho, Hi)
+    if h_rows is not None:
+        wh = wh[int(h_rows[0]) : int(h_rows[1])]
     ww = interp_matrix(w_out, w_in, dtype)  # (Wo, Wi)
     x = x.astype(dtype)
     # (..., Hi, Wi, C): contract H then W with the small dense matrices.

@@ -25,45 +25,85 @@ from maxsquareloss_tpu.parallel.mesh import batch_sharding
 from maxsquareloss_tpu.train.steps import model_config, step_compiler_options
 
 
+def _cm_update(y, argpred, n_eval):
+    valid = (y >= 0) & (y < n_eval)
+    gt_oh = jax.nn.one_hot(jnp.where(valid, y, 0), n_eval, dtype=jnp.float32)
+    gt_oh = gt_oh * valid[..., None].astype(jnp.float32)
+    pred_oh = jax.nn.one_hot(argpred, n_eval, dtype=jnp.float32)
+    return jnp.einsum("nhwi,nhwj->ij", gt_oh, pred_oh)
+
+
 def make_multiscale_eval_step(
     cfg: TrainConfig,
     frozen: Any,
     scales: Sequence[float] = (1.0,),
     flip: bool = False,
     num_eval_classes: int | None = None,
+    h_chunk: int | None = None,
 ):
+    """Multi-scale (+flip) eval step: forward per scale, probability-averaged
+    at label resolution, argmax → confusion-matrix partial.
+
+    ``h_chunk`` (rows at OUTPUT resolution; default cfg.eval_h_chunk, 0=off)
+    streams the upsample→softmax→argmax→CM tail over row blocks so the
+    flagship full-res protocol (2048x1024 labels, SURVEY.md §3.3) never
+    materializes the (N, 2048, 1024, C) probability tensor (~637 MB fp32 at
+    batch 8, x3 with the one-hot CM) in HBM. EXACT: align-corners
+    interpolation is row-local, and the matmul formulation chunks by simply
+    slicing the H-interpolation matrix's output rows (ops/resize.py); each
+    chunk's softmax/argmax/CM reads only its own rows.
+    """
     mcfg = model_config(cfg, eval_mode=True)
     n_eval = num_eval_classes or cfg.num_classes
     scales = tuple(float(s) for s in scales)
+    if h_chunk is None:
+        h_chunk = cfg.eval_h_chunk
 
     @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
     def step(params, x: jax.Array, y: jax.Array):
         h, w = x.shape[1], x.shape[2]
         out_hw = (y.shape[1], y.shape[2])
 
-        def prob_for(img):
+        def logits_for(img):
             _, main = apply_deeplabv2(params, frozen, img, mcfg)
-            main = upsample_logits(main, out_hw)
-            return jax.nn.softmax(main, axis=-1)
+            return main  # OS8 resolution — small; upsample happens per chunk
 
-        prob = None
+        heads = []  # (logits, flipped_w) pairs, probability-summed below
         for s in scales:
             sh, sw = max(1, round(h * s)), max(1, round(w * s))
             img = (
                 x if (sh, sw) == (h, w)
                 else resize_bilinear_align_corners(x, (sh, sw))
             )
-            p = prob_for(img)
+            heads.append((logits_for(img), False))
             if flip:
-                p = p + prob_for(img[:, :, ::-1, :])[:, :, ::-1, :]
-            prob = p if prob is None else prob + p
-        argpred = jnp.argmax(prob, axis=-1).astype(jnp.int32)
-        valid = (y >= 0) & (y < n_eval)
-        gt_oh = jax.nn.one_hot(jnp.where(valid, y, 0), n_eval, dtype=jnp.float32)
-        gt_oh = gt_oh * valid[..., None].astype(jnp.float32)
-        pred_oh = jax.nn.one_hot(argpred, n_eval, dtype=jnp.float32)
-        cm = jnp.einsum("nhwi,nhwj->ij", gt_oh, pred_oh)
-        return cm, argpred
+                heads.append((logits_for(img[:, :, ::-1, :]), True))
+
+        def prob_rows(r0: int, r1: int):
+            """Scale/flip-averaged probabilities for output rows [r0, r1)."""
+            prob = None
+            for logits, flipped in heads:
+                up = resize_bilinear_align_corners(
+                    logits, out_hw, h_rows=(r0, r1)
+                )
+                p = jax.nn.softmax(up, axis=-1)
+                if flipped:
+                    p = p[:, :, ::-1, :]
+                prob = p if prob is None else prob + p
+            return prob
+
+        if not h_chunk or h_chunk >= out_hw[0]:
+            argpred = jnp.argmax(prob_rows(0, out_hw[0]), axis=-1).astype(jnp.int32)
+            return _cm_update(y, argpred, n_eval), argpred
+
+        cm = jnp.zeros((n_eval, n_eval), jnp.float32)
+        parts = []
+        for r0 in range(0, out_hw[0], h_chunk):
+            r1 = min(r0 + h_chunk, out_hw[0])
+            arg = jnp.argmax(prob_rows(r0, r1), axis=-1).astype(jnp.int32)
+            cm = cm + _cm_update(y[:, r0:r1], arg, n_eval)
+            parts.append(arg)
+        return cm, jnp.concatenate(parts, axis=1)
 
     return step
 

@@ -68,3 +68,37 @@ def test_multiscale_runs_and_reports(rng):
     )
     assert set(out) >= {"PA", "MPA", "MIoU", "FWIoU", "MIoU_16", "MIoU_13", "_eval"}
     assert 0.0 <= out["MIoU"] <= 1.0
+
+
+def test_h_chunked_multiscale_matches_unchunked(rng):
+    """eval_h_chunk streams the upsample/softmax/argmax/CM tail over output
+    rows; CM and argpred must match the monolithic step exactly (full-res
+    protocol enabler, VERDICT r2 #3)."""
+    cfg, params, frozen = _setup()
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 3), dtype=np.float32))
+    # full-res-style labels: 2x the input resolution, odd-chunk coverage
+    y = jnp.asarray(rng.integers(-1, cfg.num_classes, size=(2, 64, 128)).astype(np.int32))
+    full = make_multiscale_eval_step(cfg, frozen, scales=(0.75, 1.0), flip=True)
+    cm_a, arg_a = full(params, x, y)
+    for chunk in (16, 24, 64):
+        chunked = make_multiscale_eval_step(
+            cfg, frozen, scales=(0.75, 1.0), flip=True, h_chunk=chunk
+        )
+        cm_b, arg_b = chunked(params, x, y)
+        np.testing.assert_array_equal(np.asarray(arg_b), np.asarray(arg_a))
+        np.testing.assert_allclose(np.asarray(cm_b), np.asarray(cm_a), atol=1e-3)
+
+
+def test_h_chunked_train_eval_step_matches(rng):
+    """steps.make_eval_step honors cfg.eval_h_chunk with identical results
+    (trainer validate path at full-res labels)."""
+    from maxsquareloss_tpu.train.steps import make_eval_step
+
+    cfg, params, frozen = _setup()
+    cfg_chunk, _, _ = _setup(eval_h_chunk=24)
+    x = jnp.asarray(rng.standard_normal((2, 32, 64, 3), dtype=np.float32))
+    y = jnp.asarray(rng.integers(-1, cfg.num_classes, size=(2, 64, 128)).astype(np.int32))
+    cm_a, arg_a = make_eval_step(cfg, frozen)(params, x, y)
+    cm_b, arg_b = make_eval_step(cfg_chunk, frozen)(params, x, y)
+    np.testing.assert_array_equal(np.asarray(arg_b), np.asarray(arg_a))
+    np.testing.assert_allclose(np.asarray(cm_b), np.asarray(cm_a), atol=1e-3)

@@ -53,3 +53,25 @@ def test_gradient_flows(rng):
     (y**2).sum().backward()
     want = xt.grad.permute(0, 2, 3, 1).numpy()
     np.testing.assert_allclose(np.asarray(g), want, rtol=1e-4, atol=1e-4)
+
+
+def test_h_rows_chunking_is_exact(rng):
+    """Row-block slices of the H interp matmul reassemble the full resize
+    (the full-res eval streaming path, VERDICT r2 #3). Tolerance: XLA may
+    fuse the two einsums differently per output shape — 1-ulp reassociation
+    differences are expected; the math is the same sliced matmul."""
+    x = jnp.asarray(rng.standard_normal((2, 17, 33, 5), dtype=np.float32))
+    out_hw = (64, 96)
+    full = np.asarray(resize_bilinear_align_corners(x, out_hw))
+    for chunk in (7, 16, 64, 100):
+        parts = [
+            np.asarray(
+                resize_bilinear_align_corners(
+                    x, out_hw, h_rows=(r0, min(r0 + chunk, out_hw[0]))
+                )
+            )
+            for r0 in range(0, out_hw[0], chunk)
+        ]
+        np.testing.assert_allclose(
+            np.concatenate(parts, axis=1), full, atol=1e-6, rtol=0
+        )
