@@ -177,6 +177,9 @@ def main():
                         "protocol shapes if absent)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="e2e mode: loader decode threads")
+    p.add_argument("--device_normalize", type=str2bool, default=True,
+                   help="e2e mode: ship uint8/int8, normalize on-device "
+                        "(4x less host->device traffic)")
     args = p.parse_args()
 
     import jax

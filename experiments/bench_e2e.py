@@ -117,6 +117,36 @@ def ensure_dataset(
     return root
 
 
+def _measure_h2d(batch, repeats: int = 4) -> float:
+    """Approximate host->device bandwidth (MB/s) for one batch triple.
+
+    Each transfer is fenced by a tiny jitted reduction read back to host
+    (block_until_ready alone is not a fence through the axon relay). The
+    ~30 ms fixed readback cost per fence is amortized over multi-100MB
+    transfers; good to ~few % here.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    tiny = jax.jit(lambda a: jnp.sum(a[0, :2, :2]))
+    nbytes = sum(a.nbytes for a in batch)
+    # distinct buffers per repeat: identical payloads could be de-duplicated
+    # or cached by the relay layer
+    variants = []
+    for i in range(repeats):
+        bs = [np.ascontiguousarray(a.copy()) for a in batch]
+        bs[0].flat[i] = (int(bs[0].flat[i]) + 1) % 250
+        variants.append(bs)
+    # warm the executable
+    _ = float(tiny(jax.device_put(batch[0])))
+    t0 = time.perf_counter()
+    for bs in variants:
+        arrs = [jax.device_put(a) for a in bs]
+        _ = float(tiny(arrs[0]))
+    dt = time.perf_counter() - t0
+    return repeats * nbytes / dt / 1e6
+
+
 def _make_loaders(root: str, cfg, cache_root: str | None, num_workers: int):
     from maxsquareloss_tpu.data.cityscapes import CityscapesDataset
     from maxsquareloss_tpu.data.gta5 import GTA5Dataset
@@ -203,7 +233,11 @@ def run_e2e(args) -> dict:
         batch_size=args.batch,
         data_parallel=False,
         gaussian_blur=True,
-        numpy_transform=True,
+        # torchvision normalization: from a RANDOM init the caffe transform
+        # (inputs +-128, no std division) diverges to NaN within an epoch —
+        # same rationale as the e2e CLI tests. Host cost is equivalent.
+        numpy_transform=False,
+        device_normalize=getattr(args, "device_normalize", True),
         seed=0,
         **sizes,
     )
@@ -221,6 +255,12 @@ def run_e2e(args) -> dict:
     s_l, t_l = _make_loaders(root, cfg, cache_root, args.num_workers)
     state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, 2)
     state, warm_rate, _, _, last = _timed_epoch(step, state, s_l, t_l, 3)
+
+    # --- host->device transfer attribution (the tunnel is this box's
+    # bottleneck; a real TPU host has local PCIe)
+    xs_h, ys_h, xt_h = (np.asarray(a) for a in last)
+    h2d_mbps = _measure_h2d([xs_h, ys_h, xt_h])
+    bytes_per_step = xs_h.nbytes + ys_h.nbytes + xt_h.nbytes
 
     # --- device-only ceiling: same compiled step, device-resident batch
     xs, ys, xt = last
@@ -253,6 +293,9 @@ def run_e2e(args) -> dict:
             "e2e_warm_imgs_per_sec": round(warm_rate / n_chips, 3),
             "device_only_imgs_per_sec": round(dev_rate / n_chips, 3),
             "host_device_ratio_warm": round(warm_rate / dev_rate, 3),
+            "h2d_MB_per_sec": round(h2d_mbps, 1),
+            "h2d_MB_per_step": round(bytes_per_step / 1e6, 1),
+            "device_normalize": bool(cfg.device_normalize),
             "epoch_images": n_imgs,
             "num_workers": args.num_workers,
             "final_loss": round(loss, 4),

@@ -71,6 +71,9 @@ class TrainConfig:
     target_crop_size: tuple[int, int] = (1024, 512)
     num_workers: int = 8
     loader: str = "threads"            # 'threads' | 'grain' (multiprocess)
+    # ship uint8 images / int8 labels across host->device and normalize
+    # inside the jitted step: 4x less transfer, bitwise-identical f32 math
+    device_normalize: bool = False
     cache_dir: str | None = None       # decoded-sample cache (base-size npz)
     random_mirror: bool = True
     random_crop: bool = False
@@ -155,6 +158,9 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "or grain multiprocess workers (multi-core hosts)")
     p.add_argument("--cache_dir", default=None,
                    help="decoded-sample cache dir (skips PNG decode + base resize)")
+    p.add_argument("--device_normalize", type=str2bool, default=False,
+                   help="ship uint8 images/int8 labels and normalize on-device "
+                        "(4x less host->device traffic, bit-identical)")
     p.add_argument("--random_mirror", type=str2bool, default=True)
     p.add_argument("--random_crop", type=str2bool, default=False)
     p.add_argument("--gaussian_blur", type=str2bool, default=True)

@@ -223,7 +223,10 @@ class SegDataset:
         if _png_size(img_path) != size or _png_size(lab_path) != size:
             return None
         with open(img_path, "rb") as f:
-            x = hostops.decode_normalize_bgr(f.read(), IMG_MEAN)
+            if self.cfg.device_normalize:
+                x = hostops.decode_png(f.read(), True)  # raw uint8 RGB
+            else:
+                x = hostops.decode_normalize_bgr(f.read(), IMG_MEAN)
         with open(lab_path, "rb") as f:
             y = hostops.decode_remap(f.read(), self.lut)
         return x, y
@@ -243,10 +246,18 @@ class SegDataset:
                 img, mask = val_sync_transform(
                     img, mask, self.cfg, full_res_labels=self.full_res_labels
                 )
-            x = img_transform(img, self.cfg.numpy_transform)
+            if self.cfg.device_normalize:
+                # raw uint8 RGB across the host->device boundary; the jitted
+                # step normalizes on-device (bitwise-identical f32 math,
+                # 4x less transfer — train/steps.py _prepare_inputs)
+                x = np.asarray(img, dtype=np.uint8)
+            else:
+                x = img_transform(img, self.cfg.numpy_transform)
             y = mask_transform(mask, self.lut)
         if self.class_filter is not None:
             y = self.class_filter[np.clip(y + 1, 0, 19)]
+        if self.cfg.device_normalize:
+            y = y.astype(np.int8)  # trainIds -1..18 fit; widened on-device
         name = os.path.splitext(os.path.basename(img_path))[0]
         return x, y, name
 

@@ -61,6 +61,9 @@ def make_multiscale_eval_step(
 
     @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
     def step(params, x: jax.Array, y: jax.Array):
+        from maxsquareloss_tpu.train.steps import _prepare_inputs
+
+        x, y = _prepare_inputs(x, y, cfg)
         h, w = x.shape[1], x.shape[2]
         out_hw = (y.shape[1], y.shape[2])
 

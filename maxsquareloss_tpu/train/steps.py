@@ -103,6 +103,37 @@ def step_compiler_options(cfg: TrainConfig) -> dict[str, str] | None:
     return opts
 
 
+def _prepare_inputs(x, y, cfg: TrainConfig):
+    """On-device normalize for uint8-shipped batches (+ int8 label widening).
+
+    With ``--device_normalize`` the host pipeline ships raw uint8 RGB images
+    and int8 trainId labels (4x less host->device traffic); the exact same
+    IEEE-f32 normalization the host would do (data/transforms.img_transform)
+    runs here instead. uint8->f32 casts are exact, so the caffe path
+    (numpy_transform=True, the protocol default) is BITWISE identical; the
+    torchvision path is within 1-2 ulp (XLA fuses its divide chain).
+    Tested: tests/test_data.py TestDeviceNormalize. float32 inputs pass
+    through untouched (legacy host-normalized path).
+    """
+    if x is not None and x.dtype == jnp.uint8:
+        from maxsquareloss_tpu.data.palette import (
+            IMAGENET_MEAN,
+            IMAGENET_STD,
+            IMG_MEAN,
+        )
+
+        xf = x.astype(jnp.float32)
+        if cfg.numpy_transform:
+            x = xf[..., ::-1] - jnp.asarray(IMG_MEAN, jnp.float32)
+        else:
+            x = (xf / 255.0 - jnp.asarray(IMAGENET_MEAN, jnp.float32)) / jnp.asarray(
+                IMAGENET_STD, jnp.float32
+            )
+    if y is not None and y.dtype != jnp.int32:
+        y = y.astype(jnp.int32)
+    return x, y
+
+
 def _forward_upsampled(params, frozen, x, mcfg, out_hw):
     """Forward + align-corners upsample of both heads to label resolution."""
     aux, main = apply_deeplabv2(params, frozen, x, mcfg)
@@ -193,6 +224,7 @@ def make_supervised_train_step(cfg: TrainConfig, frozen):
         compiler_options=step_compiler_options(cfg),
     )
     def step(state: TrainState, x: jax.Array, y: jax.Array):
+        x, y = _prepare_inputs(x, y, cfg)
         lr_mults = lr_mult_tree(state.params)
 
         def loss_fn(params):
@@ -220,6 +252,8 @@ def make_uda_train_step(cfg: TrainConfig, frozen):
         compiler_options=step_compiler_options(cfg),
     )
     def step(state: TrainState, xs: jax.Array, ys: jax.Array, xt: jax.Array):
+        xs, ys = _prepare_inputs(xs, ys, cfg)
+        xt, _ = _prepare_inputs(xt, None, cfg)
         lr_mults = lr_mult_tree(state.params)
 
         def loss_fn(params):
@@ -309,6 +343,7 @@ def make_eval_step(cfg: TrainConfig, frozen, num_eval_classes: int | None = None
 
     @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
     def step(params, x: jax.Array, y: jax.Array):
+        x, y = _prepare_inputs(x, y, cfg)
         _, main = apply_deeplabv2(params, frozen, x, mcfg)
         out_h = y.shape[-2]
         chunk = cfg.eval_h_chunk

@@ -492,3 +492,70 @@ def test_decoded_cache_matches_uncached(city_root, tmp_path):
     import os as _os
 
     assert len(_os.listdir(tmp_path / "cache")) == 2
+
+
+class TestDeviceNormalize:
+    """--device_normalize ships uint8/int8 and normalizes inside the jitted
+    step; results must be BITWISE identical to the host-normalized path
+    (uint8->f32 casts are exact; same IEEE f32 ops run on-device)."""
+
+    def _pair(self, city_root, numpy_transform):
+        root, list_file = city_root
+        mk = lambda dn: CityscapesDataset(
+            root=root, list_path=list_file, split="train",
+            transform_cfg=TransformConfig(
+                base_size=(32, 16), crop_size=(32, 16), gaussian_blur=False,
+                numpy_transform=numpy_transform, device_normalize=dn,
+            ),
+        )
+        return mk(False), mk(True)
+
+    @pytest.mark.parametrize("numpy_transform", [True, False])
+    def test_bitwise_parity(self, city_root, numpy_transform):
+        import jax
+
+        from maxsquareloss_tpu.config import TrainConfig
+        from maxsquareloss_tpu.train.steps import _prepare_inputs
+
+        ds_host, ds_dev = self._pair(city_root, numpy_transform)
+        cfg = TrainConfig(numpy_transform=numpy_transform)
+        for i in range(len(ds_host)):
+            rng_a = np.random.default_rng((0, 0, i))
+            rng_b = np.random.default_rng((0, 0, i))
+            x_h, y_h, _ = ds_host.get(i, rng_a)
+            x_u, y_u, _ = ds_dev.get(i, rng_b)
+            assert x_u.dtype == np.uint8 and y_u.dtype == np.int8
+            x_d, y_d = jax.jit(
+                lambda x, y: _prepare_inputs(x, y, cfg)
+            )(x_u, y_u)
+            if numpy_transform:
+                # caffe path (protocol default): uint8->f32 cast + one f32
+                # subtract — bitwise identical under jit
+                np.testing.assert_array_equal(np.asarray(x_d), x_h)
+            else:
+                # torchvision path: XLA fuses the /255 - mean / std divide
+                # chain (1-2 ulp reassociation); eager matches bitwise
+                np.testing.assert_allclose(
+                    np.asarray(x_d), x_h, atol=1e-6, rtol=0
+                )
+            np.testing.assert_array_equal(np.asarray(y_d), y_h)
+
+    def test_eval_step_accepts_uint8(self, city_root):
+        import jax
+        import jax.numpy as jnp
+
+        from maxsquareloss_tpu.config import TrainConfig
+        from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+        from maxsquareloss_tpu.train.steps import make_eval_step, model_config
+
+        cfg = TrainConfig(blocks=(1, 1, 2, 1), data_parallel=False)
+        params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+        ds_host, ds_dev = self._pair(city_root, True)
+        rng = np.random.default_rng(0)
+        xh, yh, _ = ds_host.get(0, np.random.default_rng((0, 0, 0)))
+        xu, yu, _ = ds_dev.get(0, np.random.default_rng((0, 0, 0)))
+        step = make_eval_step(cfg, frozen)
+        cm_a, arg_a = step(params, jnp.asarray(xh)[None], jnp.asarray(yh)[None])
+        cm_b, arg_b = step(params, jnp.asarray(xu)[None], jnp.asarray(yu)[None])
+        np.testing.assert_array_equal(np.asarray(arg_b), np.asarray(arg_a))
+        np.testing.assert_array_equal(np.asarray(cm_b), np.asarray(cm_a))

@@ -63,6 +63,7 @@ def transform_cfg(cfg: TrainConfig, target: bool = False) -> TransformConfig:
         random_crop=cfg.random_crop,
         gaussian_blur=cfg.gaussian_blur,
         numpy_transform=cfg.numpy_transform,
+        device_normalize=cfg.device_normalize,
     )
 
 
