@@ -156,10 +156,12 @@ def _make_loaders(root: str, cfg, cache_root: str | None, num_workers: int):
     src_t = TransformConfig(
         base_size=cfg.base_size, crop_size=cfg.crop_size,
         gaussian_blur=cfg.gaussian_blur, numpy_transform=cfg.numpy_transform,
+        device_normalize=cfg.device_normalize,
     )
     tgt_t = TransformConfig(
         base_size=cfg.target_base_size, crop_size=cfg.target_crop_size,
         gaussian_blur=cfg.gaussian_blur, numpy_transform=cfg.numpy_transform,
+        device_normalize=cfg.device_normalize,
     )
     src = GTA5Dataset(
         root=f"{root}/GTA5", list_path=f"{root}/GTA5/train.txt", split="train",
