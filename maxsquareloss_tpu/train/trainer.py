@@ -13,6 +13,7 @@ eval confusion matrix accumulates on device and syncs once per epoch.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Any, Iterable
 
@@ -146,8 +147,20 @@ class Trainer:
     # ----------------------------------------------------------------------
 
     def main(self):
-        if self.cfg.pretrained_ckpt_file:
-            self.load_checkpoint(self.cfg.pretrained_ckpt_file)
+        path = self.cfg.pretrained_ckpt_file
+        if not path and self.cfg.continue_training:
+            # in-place resume: default to this run dir's latest checkpoint so
+            # --continue_training alone never silently restarts from scratch
+            cand = os.path.join(self.cfg.checkpoint_dir, "checkpoint_latest")
+            if os.path.exists(cand):
+                path = cand
+            else:
+                self.logger.warning(
+                    "--continue_training set but no --pretrained_ckpt_file "
+                    f"given and {cand} does not exist — starting fresh"
+                )
+        if path:
+            self.load_checkpoint(path)
         self.train()
 
     def load_checkpoint(self, path: str):

@@ -71,6 +71,23 @@ def test_trainer_resume(tmp_path):
     assert tr2.current_epoch == 1
 
 
+def test_continue_training_defaults_to_run_dir_latest(tmp_path):
+    """--continue_training without --pretrained_ckpt_file resumes from the
+    run dir's checkpoint_latest instead of silently restarting (round-3
+    usability fix; an on-chip CLI run hit the silent restart)."""
+    cfg = _cfg(tmp_path, epoch_num=1)
+    tr = Trainer(cfg, _loader(), None)
+    tr.train()
+    it1 = int(np.asarray(tr.state.iteration))
+    assert it1 > 0
+
+    cfg2 = _cfg(tmp_path, epoch_num=2, continue_training=True)
+    tr2 = Trainer(cfg2, _loader(), None)
+    tr2.main()
+    assert int(np.asarray(tr2.state.iteration)) == it1 + 2
+    assert tr2.current_epoch == 1
+
+
 def test_mid_epoch_resume_exact_data_order(tmp_path):
     """A preempted run resumed from a --save_iter mid-epoch checkpoint must
     replay the EXACT remaining batches (same shuffle + same aug draws) and
