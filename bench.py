@@ -112,12 +112,30 @@ def measure_step_rate(args, dtype: str, remat: str, batch: int):
         run = lambda s: step(s, xs, ys, xt)
         imgs_per_step = 2 * batch  # source + target images per step
     elif args.mode == "infer":
-        # single-scale val inference: forward + upsample + argmax + CM
+        # val inference: forward (+scales/flip) + upsample + argmax + CM.
+        # --label_hw larger than --hw exercises the flagship full-res
+        # protocol (2048x1024 labels, SURVEY.md §3.3); --eval_h_chunk
+        # streams the upsample tail so the (N,2048,1024,C) prob tensor
+        # never materializes (train/evaluator.py).
         import jax.numpy as jnp
 
-        from maxsquareloss_tpu.train.steps import make_eval_step
+        scales = tuple(float(s) for s in args.scales.split(","))
+        if args.label_hw:
+            lh, lw = (int(v) for v in args.label_hw.split(","))
+            ys = put(rng.integers(-1, 19, size=(batch, lh, lw)).astype(np.int32))
+        if scales == (1.0,) and not args.flip and not args.label_hw:
+            from maxsquareloss_tpu.train.steps import make_eval_step
 
-        estep = make_eval_step(cfg, frozen)
+            estep = make_eval_step(cfg, frozen)
+        else:
+            from maxsquareloss_tpu.train.evaluator import (
+                make_multiscale_eval_step,
+            )
+
+            estep = make_multiscale_eval_step(
+                cfg, frozen, scales=scales, flip=args.flip,
+                h_chunk=args.eval_h_chunk,
+            )
         p_infer = state.params
         counter = [0]
 
@@ -163,6 +181,16 @@ def main():
     p.add_argument("--remat", default="", choices=("", "stages"))
     p.add_argument("--concat", action="store_true",
                    help="UDA: concatenated source+target forward")
+    p.add_argument("--scales", default="1.0",
+                   help="infer mode: comma-separated eval scales")
+    p.add_argument("--flip", type=str2bool, default=False,
+                   help="infer mode: add horizontal-flip TTA")
+    p.add_argument("--label_hw", default="",
+                   help="infer mode: label resolution H,W (full-res "
+                        "protocol: 1024,2048); default = input --hw")
+    p.add_argument("--eval_h_chunk", type=int, default=0,
+                   help="infer mode: stream the upsample/argmax/CM tail "
+                        "over output-row blocks of this height (0=off)")
     p.add_argument("--xla_options", default="auto",
                    help="XLA compiler options ('auto' | '' | 'k=v,k=v')")
     p.add_argument("--comparator", type=float,
@@ -211,6 +239,11 @@ def main():
         f"value_{'bf16' if args.dtype == 'bfloat16' else 'fp32'}":
             round(per_chip, 3),
     }
+    if args.mode == "infer":
+        extra["scales"] = args.scales
+        extra["flip"] = args.flip
+        extra["label_hw"] = args.label_hw or args.hw
+        extra["eval_h_chunk"] = args.eval_h_chunk
     if do_fp32:
         # fp32 = the parity dtype (logit/trajectory oracle tests run fp32);
         # batch 8 needs stage remat to fit v5e HBM (BASELINE.md)
