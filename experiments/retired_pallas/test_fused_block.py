@@ -96,11 +96,15 @@ def test_fused_block_grads_match_unfused():
 
 def test_fused_block_in_model_config():
     """fused_blocks config routes eligible blocks through the kernel and
-    preserves the full-model forward."""
+    preserves the full-model forward. SKIPPED since retirement: the
+    ``fused_blocks`` routing was stripped from the shipped model config
+    (VERDICT r2 #7); the kernel-level parity tests above still run."""
     from maxsquareloss_tpu.models.deeplabv2 import (
         DeepLabV2Config, apply_deeplabv2, init_deeplabv2,
     )
 
+    if "fused_blocks" not in DeepLabV2Config.__dataclass_fields__:
+        pytest.skip("fused_blocks routing removed from the shipped package")
     cfg = DeepLabV2Config(num_classes=5, blocks=(1, 2, 2, 1))
     cfg_fused = DeepLabV2Config(
         num_classes=5, blocks=(1, 2, 2, 1), fused_blocks=True
