@@ -83,6 +83,7 @@ def measure_step_rate(args, dtype: str, remat: str, batch: int):
         xla_options=args.xla_options,
         batch_size=batch,
         data_parallel=n_chips > 1,
+        eval_h_chunk=args.eval_h_chunk,
     )
     params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
     if n_chips > 1:
@@ -123,19 +124,13 @@ def measure_step_rate(args, dtype: str, remat: str, batch: int):
         if args.label_hw:
             lh, lw = (int(v) for v in args.label_hw.split(","))
             ys = put(rng.integers(-1, 19, size=(batch, lh, lw)).astype(np.int32))
-        if scales == (1.0,) and not args.flip and not args.label_hw:
-            from maxsquareloss_tpu.train.steps import make_eval_step
+        from maxsquareloss_tpu.train.evaluator import make_multiscale_eval_step
 
-            estep = make_eval_step(cfg, frozen)
-        else:
-            from maxsquareloss_tpu.train.evaluator import (
-                make_multiscale_eval_step,
-            )
-
-            estep = make_multiscale_eval_step(
-                cfg, frozen, scales=scales, flip=args.flip,
-                h_chunk=args.eval_h_chunk,
-            )
+        # one path for every protocol: single-scale/no-flip is the same step
+        # steps.make_eval_step delegates to; cfg carries eval_h_chunk
+        estep = make_multiscale_eval_step(
+            cfg, frozen, scales=scales, flip=args.flip
+        )
         p_infer = state.params
         counter = [0]
 
@@ -246,8 +241,16 @@ def main():
         extra["eval_h_chunk"] = args.eval_h_chunk
     if do_fp32:
         # fp32 = the parity dtype (logit/trajectory oracle tests run fp32);
-        # batch 8 needs stage remat to fit v5e HBM (BASELINE.md)
-        fp32_val, fp32_ms, _ = measure_step_rate(args, "float32", "stages", 8)
+        # batch 8 needs stage remat to fit v5e HBM (BASELINE.md). The batch
+        # must shard evenly over the data axis, so scale it to lcm(8, chips)
+        # on pods instead of crashing the parity leg.
+        import math
+
+        fp32_batch = math.lcm(8, jax.device_count())
+        fp32_val, fp32_ms, _ = measure_step_rate(
+            args, "float32", "stages", fp32_batch
+        )
+        extra["fp32_global_batch"] = fp32_batch
         extra["value_fp32_parity"] = round(fp32_val, 3)
         extra["fp32_step_ms"] = round(fp32_ms, 1)
         extra["vs_baseline_fp32"] = round(fp32_val / args.comparator, 3)

@@ -18,19 +18,11 @@ import numpy as np
 
 from maxsquareloss_tpu.config import TrainConfig
 from maxsquareloss_tpu.data.loader import device_prefetch
-from maxsquareloss_tpu.metrics import Eval
+from maxsquareloss_tpu.metrics import Eval, confusion_matrix_update
 from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2
-from maxsquareloss_tpu.ops.resize import resize_bilinear_align_corners, upsample_logits
+from maxsquareloss_tpu.ops.resize import resize_bilinear_align_corners
 from maxsquareloss_tpu.parallel.mesh import batch_sharding
 from maxsquareloss_tpu.train.steps import model_config, step_compiler_options
-
-
-def _cm_update(y, argpred, n_eval):
-    valid = (y >= 0) & (y < n_eval)
-    gt_oh = jax.nn.one_hot(jnp.where(valid, y, 0), n_eval, dtype=jnp.float32)
-    gt_oh = gt_oh * valid[..., None].astype(jnp.float32)
-    pred_oh = jax.nn.one_hot(argpred, n_eval, dtype=jnp.float32)
-    return jnp.einsum("nhwi,nhwj->ij", gt_oh, pred_oh)
 
 
 def make_multiscale_eval_step(
@@ -89,7 +81,11 @@ def make_multiscale_eval_step(
                 up = resize_bilinear_align_corners(
                     logits, out_hw, h_rows=(r0, r1)
                 )
-                p = jax.nn.softmax(up, axis=-1)
+                # argmax is softmax-invariant, so with a single head the
+                # softmax is dead weight — skipping it keeps the delegated
+                # single-scale eval step (steps.make_eval_step) identical
+                # to a plain logits-argmax.
+                p = up if len(heads) == 1 else jax.nn.softmax(up, axis=-1)
                 if flipped:
                     p = p[:, :, ::-1, :]
                 prob = p if prob is None else prob + p
@@ -97,14 +93,14 @@ def make_multiscale_eval_step(
 
         if not h_chunk or h_chunk >= out_hw[0]:
             argpred = jnp.argmax(prob_rows(0, out_hw[0]), axis=-1).astype(jnp.int32)
-            return _cm_update(y, argpred, n_eval), argpred
+            return confusion_matrix_update(y, argpred, n_eval), argpred
 
         cm = jnp.zeros((n_eval, n_eval), jnp.float32)
         parts = []
         for r0 in range(0, out_hw[0], h_chunk):
             r1 = min(r0 + h_chunk, out_hw[0])
             arg = jnp.argmax(prob_rows(r0, r1), axis=-1).astype(jnp.int32)
-            cm = cm + _cm_update(y[:, r0:r1], arg, n_eval)
+            cm = cm + confusion_matrix_update(y[:, r0:r1], arg, n_eval)
             parts.append(arg)
         return cm, jnp.concatenate(parts, axis=1)
 

@@ -31,7 +31,6 @@ import jax
 import jax.numpy as jnp
 
 from maxsquareloss_tpu.config import TrainConfig
-from maxsquareloss_tpu.metrics import confusion_matrix_update
 from maxsquareloss_tpu.models.deeplabv2 import (
     DeepLabV2Config,
     apply_deeplabv2,
@@ -335,32 +334,14 @@ def make_eval_step(cfg: TrainConfig, frozen, num_eval_classes: int | None = None
     ``cfg.eval_h_chunk`` streams the upsample→argmax→CM tail over output-row
     blocks (exact — row-local interpolation via the sliced H matmul) so
     full-res label protocols never materialize (N, H_full, W_full, C).
+
+    Delegates to the multiscale evaluator with a single scale-1.0 head —
+    exact: with one head the evaluator argmaxes raw logits (no softmax),
+    the chunked/unchunked tails are the evaluator's, and the resize math is
+    the identical sliced H matmul.
     """
-    from maxsquareloss_tpu.ops.resize import resize_bilinear_align_corners
+    from maxsquareloss_tpu.train.evaluator import make_multiscale_eval_step
 
-    mcfg = model_config(cfg, eval_mode=True)
-    n_eval = num_eval_classes or cfg.num_classes
-
-    @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
-    def step(params, x: jax.Array, y: jax.Array):
-        x, y = _prepare_inputs(x, y, cfg)
-        _, main = apply_deeplabv2(params, frozen, x, mcfg)
-        out_h = y.shape[-2]
-        chunk = cfg.eval_h_chunk
-        if not chunk or chunk >= out_h:
-            up = upsample_logits(main, y.shape[-2:])
-            argpred = jnp.argmax(up, axis=-1).astype(jnp.int32)
-            return confusion_matrix_update(y, argpred, n_eval), argpred
-        cm = jnp.zeros((n_eval, n_eval), jnp.float32)
-        parts = []
-        for r0 in range(0, out_h, chunk):
-            r1 = min(r0 + chunk, out_h)
-            up = resize_bilinear_align_corners(
-                main, tuple(y.shape[-2:]), h_rows=(r0, r1)
-            )
-            arg = jnp.argmax(up, axis=-1).astype(jnp.int32)
-            cm = cm + confusion_matrix_update(y[:, r0:r1], arg, n_eval)
-            parts.append(arg)
-        return cm, jnp.concatenate(parts, axis=1)
-
-    return step
+    return make_multiscale_eval_step(
+        cfg, frozen, scales=(1.0,), flip=False, num_eval_classes=num_eval_classes
+    )

@@ -42,6 +42,18 @@ from maxsquareloss_tpu.train.steps import (
 from maxsquareloss_tpu.utils.logging import SummaryWriter, setup_logger
 
 
+def val_preview_image(x0: np.ndarray, numpy_transform: bool) -> np.ndarray:
+    """(H, W, 3) float RGB in [0,1] preview of one val input.
+
+    Host-normalized float batches are un-normalized via inv_preprocess;
+    uint8 batches (--device_normalize: normalization happens inside the
+    jitted step) are the raw RGB image already.
+    """
+    if x0.dtype == np.uint8:
+        return x0.astype(np.float32) / 255.0
+    return inv_preprocess(x0[None], numpy_transform=numpy_transform)[0]
+
+
 class Trainer:
     def __init__(
         self,
@@ -337,9 +349,9 @@ class Trainer:
                 )
                 self.writer.add_image(
                     f"val/image_{shown}",
-                    inv_preprocess(
-                        np.asarray(xs[:1]), numpy_transform=self.cfg.numpy_transform
-                    )[0],
+                    val_preview_image(
+                        np.asarray(xs[0]), self.cfg.numpy_transform
+                    ),
                     it,
                 )
                 shown += 1

@@ -38,6 +38,27 @@ def _cfg(tmp_path, **kw):
     return TrainConfig(**kw)
 
 
+def test_val_preview_image_handles_both_batch_dtypes():
+    """TB val previews must show the actual input for BOTH loader dtypes:
+    uint8 (--device_normalize ships raw RGB; normalization runs in-step) and
+    host-normalized float32 (inverted via inv_preprocess). Round-3 review
+    fix: uint8 batches were previously fed through inv_preprocess as if
+    they were normalized BGR floats, producing garbled previews."""
+    from maxsquareloss_tpu.data.transforms import img_transform
+    from maxsquareloss_tpu.train.trainer import val_preview_image
+
+    rng = np.random.default_rng(0)
+    raw = rng.integers(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    expect = raw.astype(np.float32) / 255.0
+
+    np.testing.assert_array_equal(val_preview_image(raw, True), expect)
+    np.testing.assert_array_equal(val_preview_image(raw, False), expect)
+    for numpy_transform in (True, False):
+        x = img_transform(raw, numpy_transform=numpy_transform)
+        got = val_preview_image(x, numpy_transform)
+        np.testing.assert_allclose(got, expect, atol=1e-5)
+
+
 def test_trainer_end_to_end(tmp_path):
     cfg = _cfg(tmp_path)
     tr = Trainer(cfg, _loader(), _loader(n=8, seed=1))
