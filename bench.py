@@ -195,6 +195,9 @@ def main():
     p.add_argument("--fp32_parity", type=str2bool, default=None,
                    help="also measure the fp32 parity config (batch 8 + "
                         "stage remat); default: true for --mode uda")
+    p.add_argument("--with_infer", type=str2bool, default=None,
+                   help="also measure single-scale inference and record it "
+                        "in the JSON; default: true for --mode uda bf16")
     p.add_argument("--data_root", default="/tmp/bench_e2e_data",
                    help="e2e mode: on-disk dataset root (synthesized at "
                         "protocol shapes if absent)")
@@ -239,6 +242,22 @@ def main():
         extra["flip"] = args.flip
         extra["label_hw"] = args.label_hw or args.hw
         extra["eval_h_chunk"] = args.eval_h_chunk
+    do_infer = args.with_infer
+    if do_infer is None:
+        do_infer = args.mode == "uda" and args.dtype == "bfloat16"
+    if do_infer:
+        # one artifact carries both halves of the story: train AND
+        # val-protocol inference (forward + upsample + argmax + CM)
+        import copy
+
+        iargs = copy.copy(args)
+        iargs.mode = "infer"
+        infer_val, infer_ms, _ = measure_step_rate(
+            iargs, args.dtype, "", args.batch
+        )
+        extra["value_infer_bf16" if args.dtype == "bfloat16"
+              else "value_infer_fp32"] = round(infer_val, 3)
+        extra["infer_step_ms"] = round(infer_ms, 1)
     if do_fp32:
         # fp32 = the parity dtype (logit/trajectory oracle tests run fp32);
         # batch 8 needs stage remat to fit v5e HBM (BASELINE.md). The batch

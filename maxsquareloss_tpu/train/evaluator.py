@@ -63,6 +63,7 @@ def make_multiscale_eval_step(
             _, main = apply_deeplabv2(params, frozen, img, mcfg)
             return main  # OS8 resolution — small; upsample happens per chunk
 
+        n = x.shape[0]
         heads = []  # (logits, flipped_w) pairs, probability-summed below
         for s in scales:
             sh, sw = max(1, round(h * s)), max(1, round(w * s))
@@ -70,9 +71,17 @@ def make_multiscale_eval_step(
                 x if (sh, sw) == (h, w)
                 else resize_bilinear_align_corners(x, (sh, sw))
             )
-            heads.append((logits_for(img), False))
             if flip:
-                heads.append((logits_for(img[:, :, ::-1, :]), True))
+                # one forward over [img; w-flipped img]: exact (frozen BN →
+                # no cross-batch coupling) and runs the flip TTA head on the
+                # MXU as a doubled batch instead of a second launch chain
+                both = logits_for(
+                    jnp.concatenate([img, img[:, :, ::-1, :]], axis=0)
+                )
+                heads.append((both[:n], False))
+                heads.append((both[n:], True))
+            else:
+                heads.append((logits_for(img), False))
 
         def prob_rows(r0: int, r1: int):
             """Scale/flip-averaged probabilities for output rows [r0, r1)."""
