@@ -245,6 +245,10 @@ def main():
     do_infer = args.with_infer
     if do_infer is None:
         do_infer = args.mode == "uda" and args.dtype == "bfloat16"
+    if args.mode == "infer":
+        # --with_infer true would re-run the identical measurement and report
+        # it twice (value vs value_infer_*), disagreeing by dispatch jitter
+        do_infer = False
     if do_infer:
         # one artifact carries both halves of the story: train AND
         # val-protocol inference (forward + upsample + argmax + CM)
@@ -258,6 +262,12 @@ def main():
         extra["value_infer_bf16" if args.dtype == "bfloat16"
               else "value_infer_fp32"] = round(infer_val, 3)
         extra["infer_step_ms"] = round(infer_ms, 1)
+        # the embedded leg inherits the CLI's eval-protocol flags — record
+        # them so a non-default protocol is visible in the artifact
+        extra["infer_scales"] = args.scales
+        extra["infer_flip"] = args.flip
+        extra["infer_label_hw"] = args.label_hw or args.hw
+        extra["infer_eval_h_chunk"] = args.eval_h_chunk
     if do_fp32:
         # fp32 = the parity dtype (logit/trajectory oracle tests run fp32);
         # batch 8 needs stage remat to fit v5e HBM (BASELINE.md). The batch
