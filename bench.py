@@ -183,9 +183,10 @@ def main():
     p.add_argument("--label_hw", default="",
                    help="infer mode: label resolution H,W (full-res "
                         "protocol: 1024,2048); default = input --hw")
-    p.add_argument("--eval_h_chunk", type=int, default=0,
+    p.add_argument("--eval_h_chunk", type=int, default=-1,
                    help="infer mode: stream the upsample/argmax/CM tail "
-                        "over output-row blocks of this height (0=off)")
+                        "over output-row blocks of this height "
+                        "(-1=auto: 256 when label H > 512; 0=off)")
     p.add_argument("--xla_options", default="auto",
                    help="XLA compiler options ('auto' | '' | 'k=v,k=v')")
     p.add_argument("--comparator", type=float,

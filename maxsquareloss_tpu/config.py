@@ -94,9 +94,11 @@ class TrainConfig:
     show_num_images: int = 3
     data_parallel: bool = True         # shard batch over all local devices
     # stream the eval upsample->softmax->argmax->CM tail over N output rows
-    # at a time (0 = off). EXACT (row-local interpolation, sliced H-matmul);
-    # keeps the (N, 2048, 1024, C) full-res probability tensor out of HBM.
-    eval_h_chunk: int = 0
+    # at a time. EXACT (row-local interpolation, sliced H-matmul); keeps the
+    # (N, 2048, 1024, C) full-res probability tensor out of HBM. -1 = auto
+    # (chunk 256 whenever the label height exceeds 512 — measured strictly
+    # faster AND memory-bounded at full res, BASELINE.md); 0 = explicit off.
+    eval_h_chunk: int = -1
     profile: bool = False              # capture a jax.profiler trace of steps 2-5
     debug_nans: bool = False           # jax_debug_nans sanitizer mode
 
@@ -180,9 +182,10 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="XLA compiler options for the jitted steps: 'auto' "
                         "(measured-best on TPU), '' (none), or 'k=v,k=v'")
     p.add_argument("--data_parallel", type=str2bool, default=True)
-    p.add_argument("--eval_h_chunk", type=int, default=0,
+    p.add_argument("--eval_h_chunk", type=int, default=-1,
                    help="stream eval upsample/argmax/CM over N output rows "
-                        "at a time (exact; for full-res label protocols)")
+                        "at a time (exact; for full-res label protocols). "
+                        "-1 = auto (256 when label height > 512), 0 = off")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace of the first steps")
     p.add_argument("--debug_nans", action="store_true",

@@ -25,6 +25,19 @@ from maxsquareloss_tpu.parallel.mesh import batch_sharding
 from maxsquareloss_tpu.train.steps import model_config, step_compiler_options
 
 
+def resolve_h_chunk(h_chunk: int, out_h: int) -> int:
+    """Resolve the eval row-chunk setting against the static label height.
+
+    ``h_chunk < 0`` = auto: 256-row chunks whenever the label height exceeds
+    512 (full-res protocols — chunked is measured strictly faster AND
+    memory-bounded there, BASELINE.md "Flagship full-resolution eval"),
+    unchunked otherwise. ``0`` = explicit off; positive values pass through.
+    """
+    if h_chunk < 0:
+        return 256 if out_h > 512 else 0
+    return h_chunk
+
+
 def make_multiscale_eval_step(
     cfg: TrainConfig,
     frozen: Any,
@@ -44,6 +57,11 @@ def make_multiscale_eval_step(
     interpolation is row-local, and the matmul formulation chunks by simply
     slicing the H-interpolation matrix's output rows (ops/resize.py); each
     chunk's softmax/argmax/CM reads only its own rows.
+
+    ``h_chunk=-1`` (the default via cfg) auto-selects: 256-row chunks
+    whenever the label height exceeds 512 (full-res protocols — measured
+    strictly faster AND memory-bounded, BASELINE.md), unchunked otherwise.
+    The label height is static at trace time, so auto costs nothing.
     """
     mcfg = model_config(cfg, eval_mode=True)
     n_eval = num_eval_classes or cfg.num_classes
@@ -100,14 +118,15 @@ def make_multiscale_eval_step(
                 prob = p if prob is None else prob + p
             return prob
 
-        if not h_chunk or h_chunk >= out_hw[0]:
+        hc = resolve_h_chunk(h_chunk, out_hw[0])
+        if not hc or hc >= out_hw[0]:
             argpred = jnp.argmax(prob_rows(0, out_hw[0]), axis=-1).astype(jnp.int32)
             return confusion_matrix_update(y, argpred, n_eval), argpred
 
         cm = jnp.zeros((n_eval, n_eval), jnp.float32)
         parts = []
-        for r0 in range(0, out_hw[0], h_chunk):
-            r1 = min(r0 + h_chunk, out_hw[0])
+        for r0 in range(0, out_hw[0], hc):
+            r1 = min(r0 + hc, out_hw[0])
             arg = jnp.argmax(prob_rows(r0, r1), axis=-1).astype(jnp.int32)
             cm = cm + confusion_matrix_update(y[:, r0:r1], arg, n_eval)
             parts.append(arg)

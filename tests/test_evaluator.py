@@ -89,6 +89,36 @@ def test_h_chunked_multiscale_matches_unchunked(rng):
         np.testing.assert_allclose(np.asarray(cm_b), np.asarray(cm_a), atol=1e-3)
 
 
+def test_eval_h_chunk_auto_default(rng):
+    """The default eval_h_chunk is auto (-1): chunk 256 only when the label
+    height exceeds 512, so a plain full-res eval never materializes the
+    (N, H_full, W_full, C) tensor while small-label evals stay monolithic
+    (VERDICT r3 #2)."""
+    from maxsquareloss_tpu.train.evaluator import resolve_h_chunk
+
+    assert TrainConfig().eval_h_chunk == -1
+    assert resolve_h_chunk(-1, 1024) == 256   # full-res protocol: auto-chunk
+    assert resolve_h_chunk(-1, 2048) == 256
+    assert resolve_h_chunk(-1, 512) == 0      # standard val: monolithic
+    assert resolve_h_chunk(-1, 64) == 0
+    assert resolve_h_chunk(0, 2048) == 0      # explicit opt-out respected
+    assert resolve_h_chunk(128, 2048) == 128  # explicit value passes through
+
+    # the auto path through a real trace equals explicit-off exactly
+    cfg, params, frozen = _setup()
+    assert cfg.eval_h_chunk == -1
+    x = jnp.asarray(rng.standard_normal((1, 32, 16, 3), dtype=np.float32))
+    y = jnp.asarray(
+        rng.integers(-1, cfg.num_classes, size=(1, 520, 16)).astype(np.int32)
+    )
+    cm_auto, arg_auto = make_multiscale_eval_step(cfg, frozen)(params, x, y)
+    cm_off, arg_off = make_multiscale_eval_step(cfg, frozen, h_chunk=0)(
+        params, x, y
+    )
+    np.testing.assert_array_equal(np.asarray(arg_auto), np.asarray(arg_off))
+    np.testing.assert_allclose(np.asarray(cm_auto), np.asarray(cm_off), atol=1e-3)
+
+
 def test_h_chunked_train_eval_step_matches(rng):
     """steps.make_eval_step honors cfg.eval_h_chunk with identical results
     (trainer validate path at full-res labels)."""
