@@ -202,6 +202,9 @@ def main():
     p.add_argument("--data_root", default="/tmp/bench_e2e_data",
                    help="e2e mode: on-disk dataset root (synthesized at "
                         "protocol shapes if absent)")
+    p.add_argument("--epochs", type=int, default=3,
+                   help="e2e mode: timed epochs per cold/warm leg "
+                        "(median reported; 1-core epoch rates are noisy)")
     p.add_argument("--num_workers", type=int, default=4,
                    help="e2e mode: loader decode threads")
     p.add_argument("--device_normalize", type=str2bool, default=True,

@@ -247,16 +247,32 @@ def run_e2e(args) -> dict:
     state = make_train_state(params)
     step = make_uda_train_step(cfg, frozen)
 
-    # --- cold: no cache; epoch 0 = compile + warmup, epoch 1 = timed
+    # Epoch-level rates on this 1-core VM vary ~±25% run to run (decode
+    # threads + prefetch + device_put contend for one core), which can
+    # invert the cold-vs-warm ordering in a single-epoch sample (VERDICT r3
+    # weak #4 / #5): report the MEDIAN over >=3 timed epochs each, plus the
+    # spread, so the published ordering is stable.
+    epochs = max(1, int(getattr(args, "epochs", 3)))
+
+    # --- cold: no cache; epoch 0 = compile + warmup, then `epochs` timed
     s_l, t_l = _make_loaders(root, cfg, None, args.num_workers)
     state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, 0)
-    state, cold_rate, n_imgs, loss, _ = _timed_epoch(step, state, s_l, t_l, 1)
+    cold_rates = []
+    for e in range(1, 1 + epochs):
+        state, r, n_imgs, loss, _ = _timed_epoch(step, state, s_l, t_l, e)
+        cold_rates.append(r)
+    cold_rate = float(np.median(cold_rates))
 
-    # --- warm: decoded-sample cache; epoch 2 primes it, epoch 3 = timed
+    # --- warm: decoded-sample cache; one priming epoch, then `epochs` timed
     cache_root = os.path.join(root, "_cache")
     s_l, t_l = _make_loaders(root, cfg, cache_root, args.num_workers)
-    state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, 2)
-    state, warm_rate, _, _, last = _timed_epoch(step, state, s_l, t_l, 3)
+    state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, 100)
+    warm_rates = []
+    last = None
+    for e in range(101, 101 + epochs):
+        state, r, _, _, last = _timed_epoch(step, state, s_l, t_l, e)
+        warm_rates.append(r)
+    warm_rate = float(np.median(warm_rates))
 
     # --- host->device transfer attribution (the tunnel is this box's
     # bottleneck; a real TPU host has local PCIe)
@@ -293,6 +309,9 @@ def run_e2e(args) -> dict:
         "extra": {
             "e2e_cold_imgs_per_sec": round(cold_rate / n_chips, 3),
             "e2e_warm_imgs_per_sec": round(warm_rate / n_chips, 3),
+            "timed_epochs_each": epochs,
+            "e2e_cold_epoch_rates": [round(r / n_chips, 3) for r in cold_rates],
+            "e2e_warm_epoch_rates": [round(r / n_chips, 3) for r in warm_rates],
             "device_only_imgs_per_sec": round(dev_rate / n_chips, 3),
             "host_device_ratio_warm": round(warm_rate / dev_rate, 3),
             "h2d_MB_per_sec": round(h2d_mbps, 1),
@@ -321,6 +340,8 @@ if __name__ == "__main__":
 
     p = argparse.ArgumentParser()
     p.add_argument("--data_root", default="/tmp/bench_e2e_data")
+    p.add_argument("--epochs", type=int, default=3,
+                   help="timed epochs per leg (median reported)")
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--dtype", default="bfloat16")

@@ -231,11 +231,85 @@ class SegDataset:
             y = hostops.decode_remap(f.read(), self.lut)
         return x, y
 
+    def _fused_train_sample(self, img_path, lab_path, rng: np.random.Generator):
+        """Exact fused TRAIN fast path for base-size inputs (VERDICT r3 #6).
+
+        Eligible when the PNGs are already at base_size (IHDR peek — e.g.
+        after ``tools/prepare_dataset.py`` pre-resized the dataset once) and
+        random_crop is off: the deterministic resize is then the identity,
+        so the sample reduces to one fused C++ decode pass per file plus the
+        random mirror as a numpy view flip. EXACT vs the general path:
+
+        - rng draws happen in the general path's order (mirror gate, blur
+          gate, blur radius) so data order is bitwise-reproducible either way;
+        - mirror ∘ normalize == normalize ∘ mirror (both elementwise per
+          pixel: BGR swap is channel-wise, the flip is width-wise), and
+          mirror ∘ LUT-remap == LUT-remap ∘ mirror;
+        - when the per-sample blur gate FIRES, the image leg falls back to
+          the PIL chain in the general order (flip → blur → normalize) —
+          PIL's Gaussian kernel is not guaranteed flip-equivariant at the
+          bit level, so the fused reorder is only taken when no blur is
+          drawn. The label leg stays fused either way.
+
+        Returns (x, y) or None to take the general path.
+        """
+        from maxsquareloss_tpu.data import hostops
+        from maxsquareloss_tpu.data.palette import IMG_MEAN
+
+        cfg = self.cfg
+        if (
+            not self.training
+            or cfg.random_crop
+            or not (cfg.numpy_transform or cfg.device_normalize)
+            or not hostops.available()
+            or not img_path.endswith(".png")
+            or not lab_path.endswith(".png")
+        ):
+            return None
+        size = tuple(cfg.base_size)
+        if _png_size(img_path) != size or _png_size(lab_path) != size:
+            return None
+
+        flip = bool(cfg.random_mirror and rng.random() < 0.5)
+        blur_radius = None
+        if cfg.gaussian_blur and rng.random() < cfg.blur_prob:
+            blur_radius = float(rng.random())
+
+        with open(lab_path, "rb") as f:
+            y = hostops.decode_remap(f.read(), self.lut)
+        if flip:
+            y = np.ascontiguousarray(y[:, ::-1])
+
+        with open(img_path, "rb") as f:
+            raw = f.read()
+        if blur_radius is not None:
+            img = Image.fromarray(hostops.decode_png(raw, True))
+            if flip:
+                img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            from PIL import ImageFilter
+
+            img = img.filter(ImageFilter.GaussianBlur(radius=blur_radius))
+            if cfg.device_normalize:
+                x = np.asarray(img, dtype=np.uint8)
+            else:
+                x = img_transform(img, cfg.numpy_transform)
+        else:
+            if cfg.device_normalize:
+                x = hostops.decode_png(raw, True)  # raw uint8 RGB
+            else:
+                x = hostops.decode_normalize_bgr(raw, IMG_MEAN)
+            if flip:
+                x = np.ascontiguousarray(x[:, ::-1])
+        return x, y
+
     def get(self, index: int, rng: np.random.Generator):
         """→ (image (H,W,3) float32, label (H,W) int32, item_name)."""
         item = self.items[index]
         img_path, lab_path = self._pair_paths(item)
-        fused = self._fused_val_sample(img_path, lab_path)
+        if self.training:
+            fused = self._fused_train_sample(img_path, lab_path, rng)
+        else:
+            fused = self._fused_val_sample(img_path, lab_path)
         if fused is not None:
             x, y = fused
         else:

@@ -17,6 +17,7 @@ def _args(tmp_path, **kw):
     d = dict(
         data_root=str(tmp_path / "data"),
         num_workers=2,
+        epochs=1,
         batch=4,
         dtype="float32",
         remat="",
@@ -48,6 +49,11 @@ def test_e2e_bench_smoke(tmp_path):
     for key in ("e2e_cold_imgs_per_sec", "e2e_warm_imgs_per_sec",
                 "device_only_imgs_per_sec"):
         assert extra[key] > 0
+    # per-epoch rates back the reported medians (VERDICT r3 #5)
+    assert extra["timed_epochs_each"] == 1
+    assert len(extra["e2e_cold_epoch_rates"]) == 1
+    assert len(extra["e2e_warm_epoch_rates"]) == 1
+    assert extra["e2e_cold_imgs_per_sec"] == extra["e2e_cold_epoch_rates"][0]
     assert np.isfinite(extra["final_loss"])
     assert "comparator_provenance" in extra
     json.dumps(result)  # must be JSON-serializable

@@ -99,6 +99,135 @@ def test_fused_val_fast_path_matches_general(tmp_path, rng):
     assert x2.shape == (8, 16, 3) and y2.shape == (8, 16)
 
 
+def _write_pair(root, rel, lrel, img, lab):
+    (root / rel).parent.mkdir(parents=True, exist_ok=True)
+    (root / lrel).parent.mkdir(parents=True, exist_ok=True)
+    Image.fromarray(img).save(root / rel)
+    Image.fromarray(lab).save(root / lrel)
+
+
+def test_fused_train_fast_path_matches_general(tmp_path, rng):
+    """When train PNGs are already at base_size (e.g. after
+    tools/prepare_dataset.py) and random_crop is off, get() takes the fused
+    decode path with the mirror as a numpy flip — must equal the general
+    PIL path bit for bit across mirror/blur draws (VERDICT r3 #6)."""
+    from unittest import mock
+
+    from maxsquareloss_tpu.data import CityscapesDataset, TransformConfig
+    from maxsquareloss_tpu.data.cityscapes import CITYSCAPES_ID_TO_TRAINID
+
+    root = tmp_path
+    rel = "leftImg8bit/train/x/x_000000_leftImg8bit.png"
+    lrel = rel.replace("leftImg8bit", "gtFine", 1).replace(
+        "_leftImg8bit.png", "_gtFine_labelIds.png"
+    )
+    img = rng.integers(0, 255, (16, 32, 3)).astype(np.uint8)
+    lab = rng.choice(list(CITYSCAPES_ID_TO_TRAINID), size=(16, 32)).astype(np.uint8)
+    _write_pair(root, rel, lrel, img, lab)
+    (root / "train.txt").write_text(rel)
+
+    # blur on + mirror on: seeds cover {no-blur, blur} x {flip, no-flip};
+    # the blur-drawn seeds exercise the PIL fallback leg in fused order
+    for dev_norm in (False, True):
+        cfg = TransformConfig(
+            base_size=(32, 16), crop_size=(32, 16),
+            random_mirror=True, gaussian_blur=True,
+            device_normalize=dev_norm,
+        )
+        ds = CityscapesDataset(
+            str(root), str(root / "train.txt"), split="train", transform_cfg=cfg
+        )
+        assert ds._fused_train_sample(
+            str(root / rel), str(root / lrel), np.random.default_rng(0)
+        ) is not None
+        for seed in range(8):
+            x_fast, y_fast, _ = ds.get(0, np.random.default_rng(seed))
+            with mock.patch.object(hostops, "available", return_value=False):
+                x_gen, y_gen, _ = ds.get(0, np.random.default_rng(seed))
+            assert x_fast.dtype == x_gen.dtype
+            np.testing.assert_array_equal(x_fast, x_gen)
+            np.testing.assert_array_equal(y_fast, y_gen)
+
+    # random_crop or size mismatch -> general path
+    cfg_crop = TransformConfig(
+        base_size=(32, 16), crop_size=(16, 8), random_crop=True
+    )
+    ds_crop = CityscapesDataset(
+        str(root), str(root / "train.txt"), split="train", transform_cfg=cfg_crop
+    )
+    assert ds_crop._fused_train_sample(
+        str(root / rel), str(root / lrel), np.random.default_rng(0)
+    ) is None
+    cfg_small = TransformConfig(base_size=(16, 8), crop_size=(16, 8))
+    ds_small = CityscapesDataset(
+        str(root), str(root / "train.txt"), split="train", transform_cfg=cfg_small
+    )
+    assert ds_small._fused_train_sample(
+        str(root / rel), str(root / lrel), np.random.default_rng(0)
+    ) is None
+    x, y, _ = ds_small.get(0, np.random.default_rng(0))
+    assert x.shape == (8, 16, 3) and y.shape == (8, 16)
+
+
+def test_prepare_dataset_bit_identical_and_fused(tmp_path, rng):
+    """tools/prepare_dataset.py pre-resizes to base_size on disk; training
+    from the prepared root must produce bitwise-identical samples to the
+    original root (same seeds) while taking the fused fast path.
+
+    random_mirror is off here: the deterministic prefix (decode+resize) is
+    bit-identical by construction, but a mirrored sample's flip happens at
+    base_size on the prepared root vs native size on the original, and
+    PIL's resample grid is not exactly flip-equivariant (documented in the
+    tool's docstring). Fused-vs-general parity ON the prepared root across
+    mirror/blur draws is covered by
+    test_fused_train_fast_path_matches_general."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.prepare_dataset import prepare_split
+
+    from maxsquareloss_tpu.data import GTA5Dataset, TransformConfig
+    from maxsquareloss_tpu.data.cityscapes import CITYSCAPES_ID_TO_TRAINID
+
+    src = tmp_path / "orig" / "GTA5"
+    (src / "images").mkdir(parents=True)
+    (src / "labels").mkdir(parents=True)
+    for i in range(2):
+        img = rng.integers(0, 255, (40, 64, 3)).astype(np.uint8)
+        lab = rng.choice(list(CITYSCAPES_ID_TO_TRAINID), size=(40, 64)).astype(np.uint8)
+        Image.fromarray(img).save(src / "images" / f"{i:05d}.png")
+        Image.fromarray(lab).save(src / "labels" / f"{i:05d}.png")
+    (src / "train.txt").write_text("00000.png\n00001.png")
+
+    out = tmp_path / "prep" / "GTA5"
+    base = (32, 16)
+    n = prepare_split(
+        "gta5", str(src), str(src / "train.txt"), str(out), base, "train",
+        num_workers=2,
+    )
+    assert n == 2
+    assert (out / "images" / "00000.png").exists()
+    assert (out / "train.txt").exists()
+
+    cfg = TransformConfig(base_size=base, crop_size=base,
+                          random_mirror=False, gaussian_blur=True)
+    ds_orig = GTA5Dataset(str(src), str(src / "train.txt"), split="train",
+                          transform_cfg=cfg)
+    ds_prep = GTA5Dataset(str(out), str(out / "train.txt"), split="train",
+                          transform_cfg=cfg)
+    # prepared root is eligible for the fused train path; original is not
+    ip, lp = ds_prep._pair_paths(ds_prep.items[0])
+    assert ds_prep._fused_train_sample(ip, lp, np.random.default_rng(0)) is not None
+    io_, lo = ds_orig._pair_paths(ds_orig.items[0])
+    assert ds_orig._fused_train_sample(io_, lo, np.random.default_rng(0)) is None
+    for i in range(2):
+        for seed in range(4):
+            xa, ya, _ = ds_orig.get(i, np.random.default_rng(seed))
+            xb, yb, _ = ds_prep.get(i, np.random.default_rng(seed))
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+
+
 def test_dataset_uses_native_path(tmp_path, rng):
     """SegDataset through the native decode gives identical tensors to PIL."""
     from maxsquareloss_tpu.data import CityscapesDataset, TransformConfig

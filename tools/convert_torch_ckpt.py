@@ -48,7 +48,11 @@ def main(argv=None):
         params=params, opt=init_sgd(params), iteration=jnp.asarray(0, jnp.int32)
     )
     os.makedirs(args.output, exist_ok=True)
-    ckpt_lib.save_checkpoint(args.output, state, frozen, epoch=0, best_miou=0.0)
+    # wait=True: a CLI one-shot must not exit while the async save is in
+    # flight (orbax's executor is torn down at interpreter shutdown)
+    ckpt_lib.save_checkpoint(
+        args.output, state, frozen, epoch=0, best_miou=0.0, wait=True
+    )
     print(f"wrote {os.path.join(args.output, ckpt_lib.LATEST)}")
 
 

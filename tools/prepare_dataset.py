@@ -1,0 +1,164 @@
+"""Pre-resize a dataset to base_size on disk, once (SURVEY.md §3.4 / hard
+part #5; VERDICT r3 #6).
+
+The training pipeline's dominant steady-state host cost is the per-sample
+PNG decode + PIL BICUBIC resize from native resolution to base_size
+(measured 155 ms cold / 109 ms warm per 1914x1052 GTA5 source image on the
+1-core dev VM — BASELINE.md "End-to-end throughput"). That resize is
+deterministic and epoch-invariant, so paying it every epoch is waste.
+
+This tool applies the IDENTICAL resize the runtime would apply — PIL
+BICUBIC for images, PIL NEAREST for labels, via the dataset class's own
+loaders so SYNTHIA's 16-bit label decode etc. are reused — exactly once,
+writing lossless PNGs in the same relative layout plus the split list
+file. Bit-identical by construction for the deterministic prefix: the
+prepared pixels are exactly what the runtime's per-epoch decode+resize
+would have produced (tested:
+tests/test_hostops.py::test_prepare_dataset_bit_identical_and_fused
+asserts full-stream bitwise equality original-vs-prepared with
+random_mirror off). One documented wrinkle: with random_mirror ON, a
+mirrored sample's flip now happens at base_size instead of native size —
+PIL's resample grid is not exactly flip-equivariant, so those samples can
+differ from the original-root stream in isolated resampled pixels
+(identical distribution; the reference order is flip→resize, SURVEY.md
+C1). Because the prepared PNGs are already at base_size (detected by an
+IHDR header peek, no decode), the fused C++ fast paths take over:
+
+  - train: data/cityscapes.py _fused_train_sample — one fused libpng
+    decode+normalize pass (image) + decode+remap pass (label), random
+    mirror as a numpy view flip; exact, parity-tested.
+  - val:   _fused_val_sample (wired since round 2).
+
+Usage (then point --data_root_path at the output root):
+
+    python tools/prepare_dataset.py --dataset gta5 \
+        --data_root_path ./datasets --output_root ./datasets_720p \
+        --base_size 1280,720 --splits train
+    python tools/prepare_dataset.py --dataset cityscapes \
+        --data_root_path ./datasets --output_root ./datasets_720p \
+        --base_size 1024,512 --splits train,val
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from PIL import Image
+
+from maxsquareloss_tpu.data.transforms import TransformConfig
+
+
+def _save_mask(mask: Image.Image, path: str) -> None:
+    """Lossless label save: uint8 → 8-bit gray PNG, 'I' (SYNTHIA 16-bit
+    ids) → 16-bit gray PNG. Both re-decode to the same raw ids."""
+    arr = np.asarray(mask)
+    if arr.dtype == np.uint8:
+        Image.fromarray(arr).save(path, format="PNG")
+    else:
+        ids = arr.astype(np.int64)
+        if ids.min() < 0 or ids.max() > 0xFFFF:
+            raise ValueError(f"label ids outside uint16 range in {path}")
+        Image.fromarray(ids.astype(np.uint16)).save(path, format="PNG")
+
+
+def prepare_split(
+    dataset: str,
+    root: str,
+    list_path: str,
+    out_root: str,
+    base_size: tuple[int, int],
+    split: str,
+    num_workers: int = 4,
+    force: bool = False,
+    city_name: str | None = None,
+) -> int:
+    """Pre-resize every (image, label) pair of one split; returns pair count."""
+    from tools.common import DATASET_CLS
+
+    kw = {}
+    if dataset == "crosscity" and city_name:
+        kw["city_name"] = city_name
+    ds = DATASET_CLS[dataset](
+        root,
+        list_path,
+        split=split,
+        transform_cfg=TransformConfig(base_size=base_size, crop_size=base_size),
+        **kw,
+    )
+
+    def one(item: str) -> None:
+        img_path, lab_path = ds._pair_paths(item)
+        out_img = os.path.join(out_root, os.path.relpath(img_path, root))
+        out_lab = os.path.join(out_root, os.path.relpath(lab_path, root))
+        has_label = os.path.exists(lab_path)  # crosscity train is unlabeled
+        if not force and os.path.exists(out_img) and (
+            not has_label or os.path.exists(out_lab)
+        ):
+            return
+        os.makedirs(os.path.dirname(out_img), exist_ok=True)
+        # the dataset's own loaders (native libpng when built; SYNTHIA
+        # 16-bit handling) + the runtime's exact resize pair
+        img = ds._load_image(img_path).resize(base_size, Image.BICUBIC)
+        img.save(out_img + ".tmp", format="PNG")
+        os.replace(out_img + ".tmp", out_img)
+        if has_label:
+            os.makedirs(os.path.dirname(out_lab), exist_ok=True)
+            mask = ds._load_mask(lab_path).resize(base_size, Image.NEAREST)
+            _save_mask(mask, out_lab + ".tmp")
+            os.replace(out_lab + ".tmp", out_lab)
+
+    with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
+        list(pool.map(one, ds.items))
+
+    # split list rides along so --data_root_path can point at out_root
+    out_list = os.path.join(out_root, os.path.relpath(list_path, root))
+    os.makedirs(os.path.dirname(out_list), exist_ok=True)
+    with open(out_list, "w") as f:
+        f.write("\n".join(ds.items) + "\n")
+    return len(ds.items)
+
+
+def main() -> None:
+    from tools.common import default_paths
+
+    p = argparse.ArgumentParser("prepare_dataset")
+    p.add_argument("--dataset", required=True,
+                   choices=("cityscapes", "gta5", "synthia", "crosscity"))
+    p.add_argument("--data_root_path", default="./datasets")
+    p.add_argument("--output_root", required=True,
+                   help="output datasets root (mirrors the input layout)")
+    p.add_argument("--base_size", default="1280,720", help="W,H")
+    p.add_argument("--splits", default="train", help="comma-separated")
+    p.add_argument("--list_path", default=None,
+                   help="explicit split list (single split only)")
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--city_name", default=None, help="crosscity only")
+    p.add_argument("--force", action="store_true",
+                   help="re-write existing outputs")
+    args = p.parse_args()
+
+    w, h = (int(v) for v in args.base_size.split(","))
+    paths = default_paths(args.data_root_path)[args.dataset]
+    out_ds_root = os.path.join(
+        args.output_root, os.path.basename(os.path.normpath(paths["root"]))
+    )
+    for split in args.splits.split(","):
+        split = split.strip()
+        list_path = args.list_path or paths[split]
+        n = prepare_split(
+            args.dataset, paths["root"], list_path, out_ds_root,
+            (w, h), split, num_workers=args.num_workers, force=args.force,
+            city_name=args.city_name,
+        )
+        print(f"prepared {args.dataset}/{split}: {n} pairs at {w}x{h} "
+              f"→ {out_ds_root}")
+
+
+if __name__ == "__main__":
+    main()
