@@ -47,7 +47,7 @@ def test_e2e_bench_smoke(tmp_path):
     # one epoch = floor(8/4) * 2 steps * (4 src + 4 tgt) images
     assert extra["epoch_images"] == 16
     for key in ("e2e_cold_imgs_per_sec", "e2e_warm_imgs_per_sec",
-                "device_only_imgs_per_sec"):
+                "e2e_prepared_imgs_per_sec", "device_only_imgs_per_sec"):
         assert extra[key] > 0
     # per-epoch rates back the reported medians (VERDICT r3 #5)
     assert extra["timed_epochs_each"] == 1

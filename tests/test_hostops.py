@@ -228,6 +228,60 @@ def test_prepare_dataset_bit_identical_and_fused(tmp_path, rng):
             np.testing.assert_array_equal(ya, yb)
 
 
+def test_prepare_dataset_synthia_16bit(tmp_path, rng):
+    """prepare_dataset preserves SYNTHIA's 16-bit class ids: the 3-channel
+    16-bit label PNG is decoded (channel 0), NEAREST-resized, and re-saved
+    as a 16-bit gray PNG that re-decodes to the same raw ids; the prepared
+    root is fused-train-path eligible and matches the original stream
+    (mirror off — see test_prepare_dataset_bit_identical_and_fused)."""
+    import sys
+
+    cv2 = pytest.importorskip("cv2")
+    sys.path.insert(0, ".")
+    from tools.prepare_dataset import prepare_split
+
+    from maxsquareloss_tpu.data import SynthiaDataset, TransformConfig
+
+    src = tmp_path / "orig" / "SYNTHIA"
+    (src / "RGB").mkdir(parents=True)
+    (src / "GT" / "LABELS").mkdir(parents=True)
+    names = []
+    for i in range(2):
+        img = rng.integers(0, 255, (40, 64, 3)).astype(np.uint8)
+        ids = rng.integers(0, 23, size=(40, 64)).astype(np.uint16)
+        bgr = np.zeros((40, 64, 3), np.uint16)
+        bgr[:, :, 2] = ids  # class id in the file's R channel
+        name = f"{i:07d}.png"
+        Image.fromarray(img).save(src / "RGB" / name)
+        assert cv2.imwrite(str(src / "GT" / "LABELS" / name), bgr)
+        names.append(name)
+    (src / "train.txt").write_text("\n".join(names))
+
+    out = tmp_path / "prep" / "SYNTHIA"
+    base = (32, 16)
+    prepare_split("synthia", str(src), str(src / "train.txt"), str(out),
+                  base, "train", num_workers=1)
+    # prepared label re-decodes as 16-bit with the same ids the runtime
+    # NEAREST resize would produce
+    prep_lab = np.asarray(Image.open(out / "GT" / "LABELS" / names[0]))
+    assert prep_lab.dtype == np.uint16 and prep_lab.shape == (16, 32)
+
+    cfg = TransformConfig(base_size=base, crop_size=base,
+                          random_mirror=False, gaussian_blur=False)
+    ds_orig = SynthiaDataset(str(src), str(src / "train.txt"), split="train",
+                             transform_cfg=cfg)
+    ds_prep = SynthiaDataset(str(out), str(out / "train.txt"), split="train",
+                             transform_cfg=cfg)
+    ip, lp = ds_prep._pair_paths(ds_prep.items[0])
+    assert ds_prep._fused_train_sample(ip, lp, np.random.default_rng(0)) is not None
+    for i in range(2):
+        xa, ya, _ = ds_orig.get(i, np.random.default_rng(3))
+        xb, yb, _ = ds_prep.get(i, np.random.default_rng(3))
+        np.testing.assert_array_equal(xa, xb)
+        np.testing.assert_array_equal(ya, yb)
+        assert set(np.unique(yb)) <= set(range(-1, 19))
+
+
 def test_dataset_uses_native_path(tmp_path, rng):
     """SegDataset through the native decode gives identical tensors to PIL."""
     from maxsquareloss_tpu.data import CityscapesDataset, TransformConfig
