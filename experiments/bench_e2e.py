@@ -254,28 +254,26 @@ def run_e2e(args) -> dict:
     # spread, so the published ordering is stable.
     epochs = max(1, int(getattr(args, "epochs", 3)))
 
-    # --- cold: no cache; epoch 0 = compile + warmup, then `epochs` timed
-    s_l, t_l = _make_loaders(root, cfg, None, args.num_workers)
-    state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, 0)
-    cold_rates = []
-    for e in range(1, 1 + epochs):
-        state, r, n_imgs, loss, _ = _timed_epoch(step, state, s_l, t_l, e)
-        cold_rates.append(r)
-    cold_rate = float(np.median(cold_rates))
+    last = None  # final (xs, ys, xt) batch; feeds h2d + device-only legs
 
-    # --- warm: decoded-sample cache; one priming epoch, then `epochs` timed
-    cache_root = os.path.join(root, "_cache")
-    s_l, t_l = _make_loaders(root, cfg, cache_root, args.num_workers)
-    state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, 100)
-    warm_rates = []
-    last = None
-    for e in range(101, 101 + epochs):
-        state, r, _, _, last = _timed_epoch(step, state, s_l, t_l, e)
-        warm_rates.append(r)
-    warm_rate = float(np.median(warm_rates))
+    def timed_leg(data_root, cache_root, first_epoch):
+        """One warmup/priming epoch, then `epochs` timed ones → epoch rates."""
+        nonlocal state, last, n_imgs, loss
+        s_l, t_l = _make_loaders(data_root, cfg, cache_root, args.num_workers)
+        state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, first_epoch)
+        rates = []
+        for e in range(first_epoch + 1, first_epoch + 1 + epochs):
+            state, r, n_imgs, loss, last = _timed_epoch(step, state, s_l, t_l, e)
+            rates.append(r)
+        return rates
 
-    # --- prepared: tools/prepare_dataset.py pre-resized PNGs at base_size →
-    # the fused C++ train fast path (no npz cache needed); the production
+    n_imgs = loss = None
+    # cold: no cache, PNG decode + resize every epoch (epoch 0 = compile too)
+    cold_rates = timed_leg(root, None, 0)
+    # warm: decoded-sample npz cache, primed by the leg's first epoch
+    warm_rates = timed_leg(root, os.path.join(root, "_cache"), 100)
+    # prepared: tools/prepare_dataset.py pre-resized PNGs at base_size → the
+    # fused C++ train fast path (no npz cache needed); the production
     # recommendation for static datasets (VERDICT r3 #6)
     from tools.prepare_dataset import prepare_split
 
@@ -287,12 +285,10 @@ def run_e2e(args) -> dict:
                   f"{root}/Cityscapes/train.txt", f"{prep_root}/Cityscapes",
                   tuple(cfg.target_base_size), "train",
                   num_workers=args.num_workers)
-    s_l, t_l = _make_loaders(prep_root, cfg, None, args.num_workers)
-    state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, 200)
-    prep_rates = []
-    for e in range(201, 201 + epochs):
-        state, r, _, _, last = _timed_epoch(step, state, s_l, t_l, e)
-        prep_rates.append(r)
+    prep_rates = timed_leg(prep_root, None, 200)
+
+    cold_rate = float(np.median(cold_rates))
+    warm_rate = float(np.median(warm_rates))
     prep_rate = float(np.median(prep_rates))
 
     # --- host->device transfer attribution (the tunnel is this box's

@@ -77,31 +77,33 @@ def run(args) -> dict:
 
     ds_nat = GTA5Dataset(src, f"{src}/train.txt", split="train", transform_cfg=cfg)
     idx = [int(rng.integers(0, len(ds_nat))) for _ in range(n)]
-    it = iter(idx)
-    out["native_ms"] = _median_ms(
-        lambda: ds_nat.get(next(it), np.random.default_rng(1)), n
-    )
+    # per-sample rng VARIES (seed = sample position) so the medians cover the
+    # real mirror/blur draw mix, and the SAME seeds repeat across legs so the
+    # comparison stays pairwise-fair (a constant seed would pin one branch).
+    seeds = list(range(n))
+
+    def leg(ds):
+        it = iter(zip(idx, seeds))
+
+        def sample():
+            i, s = next(it)
+            ds.get(i, np.random.default_rng(s))
+
+        return _median_ms(sample, n)
+
+    out["native_ms"] = leg(ds_nat)
 
     ds_prep = GTA5Dataset(prep, f"{prep}/train.txt", split="train", transform_cfg=cfg)
     ip, lp = ds_prep._pair_paths(ds_prep.items[0])
     assert ds_prep._fused_train_sample(ip, lp, np.random.default_rng(0)) is not None
-    it = iter(idx)
-    out["prepared_fused_ms"] = _median_ms(
-        lambda: ds_prep.get(next(it), np.random.default_rng(1)), n
-    )
+    out["prepared_fused_ms"] = leg(ds_prep)
 
-    it = iter(idx)
     with mock.patch.object(hostops, "available", return_value=False):
-        out["prepared_general_ms"] = _median_ms(
-            lambda: ds_prep.get(next(it), np.random.default_rng(1)), n
-        )
+        out["prepared_general_ms"] = leg(ds_prep)
 
     # the r3 target: fused-train cost ~= fused-val cost on the same files
     ds_val = GTA5Dataset(prep, f"{prep}/train.txt", split="val", transform_cfg=cfg)
-    it = iter(idx)
-    out["prepared_val_fused_ms"] = _median_ms(
-        lambda: ds_val.get(next(it), np.random.default_rng(1)), n
-    )
+    out["prepared_val_fused_ms"] = leg(ds_val)
     out["speedup_native_to_fused"] = round(
         out["native_ms"] / out["prepared_fused_ms"], 2
     )
@@ -114,9 +116,9 @@ if __name__ == "__main__":
     p.add_argument("--base_size", default="1280,720")
     p.add_argument("--n", type=int, default=24)
     p.add_argument("--num_workers", type=int, default=4)
-    p.add_argument("--gaussian_blur", type=lambda v: v.lower() in ("1", "true"),
-                   default=True)
-    p.add_argument("--device_normalize", type=lambda v: v.lower() in ("1", "true"),
-                   default=False)
+    from maxsquareloss_tpu.config import str2bool
+
+    p.add_argument("--gaussian_blur", type=str2bool, default=True)
+    p.add_argument("--device_normalize", type=str2bool, default=False)
     a = p.parse_args()
     print(json.dumps(run(a), indent=1))

@@ -227,6 +227,12 @@ def test_prepare_dataset_bit_identical_and_fused(tmp_path, rng):
             np.testing.assert_array_equal(xa, xb)
             np.testing.assert_array_equal(ya, yb)
 
+    # staleness: a re-run at a DIFFERENT base_size must regenerate, not
+    # silently reuse the old-size files (round-4 review finding)
+    prepare_split("gta5", str(src), str(src / "train.txt"), str(out),
+                  (16, 8), "train", num_workers=1)
+    assert Image.open(out / "images" / "00000.png").size == (16, 8)
+
 
 def test_prepare_dataset_synthia_16bit(tmp_path, rng):
     """prepare_dataset preserves SYNTHIA's 16-bit class ids: the 3-channel

@@ -92,13 +92,24 @@ def prepare_split(
         **kw,
     )
 
+    from maxsquareloss_tpu.data.cityscapes import _png_size
+
+    def fresh(out_path: str, in_path: str) -> bool:
+        """Reusable output: right size (IHDR peek) AND newer than its input
+        — a re-run after a base_size change or a regenerated source never
+        silently serves stale pixels."""
+        return (
+            _png_size(out_path) == tuple(base_size)
+            and os.path.getmtime(out_path) >= os.path.getmtime(in_path)
+        )
+
     def one(item: str) -> None:
         img_path, lab_path = ds._pair_paths(item)
         out_img = os.path.join(out_root, os.path.relpath(img_path, root))
         out_lab = os.path.join(out_root, os.path.relpath(lab_path, root))
         has_label = os.path.exists(lab_path)  # crosscity train is unlabeled
-        if not force and os.path.exists(out_img) and (
-            not has_label or os.path.exists(out_lab)
+        if not force and fresh(out_img, img_path) and (
+            not has_label or fresh(out_lab, lab_path)
         ):
             return
         os.makedirs(os.path.dirname(out_img), exist_ok=True)
@@ -116,8 +127,13 @@ def prepare_split(
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         list(pool.map(one, ds.items))
 
-    # split list rides along so --data_root_path can point at out_root
-    out_list = os.path.join(out_root, os.path.relpath(list_path, root))
+    # split list rides along so --data_root_path can point at out_root; a
+    # list outside the dataset root (explicit --list_path) must not make the
+    # relpath escape out_root and clobber the user's file
+    rel_list = os.path.relpath(os.path.abspath(list_path), os.path.abspath(root))
+    if rel_list.startswith(os.pardir):
+        rel_list = f"{split}.txt"
+    out_list = os.path.join(out_root, rel_list)
     os.makedirs(os.path.dirname(out_list), exist_ok=True)
     with open(out_list, "w") as f:
         f.write("\n".join(ds.items) + "\n")
@@ -143,13 +159,15 @@ def main() -> None:
                    help="re-write existing outputs")
     args = p.parse_args()
 
+    splits = [s.strip() for s in args.splits.split(",") if s.strip()]
+    if args.list_path and len(splits) != 1:
+        raise SystemExit("--list_path applies to exactly one --splits entry")
     w, h = (int(v) for v in args.base_size.split(","))
     paths = default_paths(args.data_root_path)[args.dataset]
     out_ds_root = os.path.join(
         args.output_root, os.path.basename(os.path.normpath(paths["root"]))
     )
-    for split in args.splits.split(","):
-        split = split.strip()
+    for split in splits:
         list_path = args.list_path or paths[split]
         n = prepare_split(
             args.dataset, paths["root"], list_path, out_ds_root,
