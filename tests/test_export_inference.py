@@ -1,0 +1,78 @@
+"""Serving export (tools/export_inference.py): serialized StableHLO artifact
+round-trips and matches the live inference graph exactly."""
+
+import json
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+sys.path.insert(0, ".")
+
+from maxsquareloss_tpu.config import TrainConfig
+from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+from maxsquareloss_tpu.optim import init_sgd
+from maxsquareloss_tpu.train import checkpoint as ckpt_lib
+from maxsquareloss_tpu.train.steps import TrainState, model_config
+
+SMALL = (1, 1, 2, 1)
+
+
+@pytest.fixture(scope="module")
+def small_ckpt(tmp_path_factory):
+    cfg = TrainConfig(blocks=SMALL, data_parallel=False)
+    params, frozen = init_deeplabv2(jax.random.key(3), model_config(cfg))
+    state = TrainState(params=params, opt=init_sgd(params),
+                       iteration=jax.numpy.asarray(0, jax.numpy.int32))
+    d = tmp_path_factory.mktemp("export_ckpt")
+    ckpt_lib.save_checkpoint(str(d), state, frozen, epoch=0, best_miou=0.0,
+                             wait=True)
+    return str(d / "checkpoint_latest")
+
+
+def test_export_roundtrip_exact(tmp_path, small_ckpt, rng):
+    from jax import export as jax_export
+
+    from tools.export_inference import main
+
+    out = str(tmp_path / "serve" / "model")
+    main([
+        "--pretrained_ckpt_file", small_ckpt, "--output", out,
+        "--hw", "32,64", "--batch_size", "2", "--blocks", "1,1,2,1",
+        "--compute_dtype", "float32", "--platforms", "cpu",
+        "--scales", "0.75,1.0", "--flip", "true",
+    ])
+    meta = json.load(open(out + ".json"))
+    assert meta["input_shape"] == [2, 32, 64, 3]
+    assert meta["flip"] is True and meta["scales"] == [0.75, 1.0]
+
+    with open(out + ".stablehlo", "rb") as f:
+        art = jax_export.deserialize(f.read())
+    x = rng.integers(0, 256, size=(2, 32, 64, 3)).astype(np.uint8)
+    got = np.asarray(art.call(x))
+    assert got.shape == (2, 32, 64) and got.dtype == np.int32
+    assert got.min() >= 0 and got.max() < 19
+
+    # the artifact must equal the live graph bit for bit (cpu platform)
+    from maxsquareloss_tpu.config import TrainConfig as TC
+    from tools.export_inference import load_params, make_serving_fn
+
+    cfg = TC(blocks=SMALL, compute_dtype="float32", device_normalize=True,
+             pretrained_ckpt_file=small_ckpt, data_parallel=False)
+    params, frozen = load_params(cfg)
+    serve = make_serving_fn(cfg, params, frozen, (0.75, 1.0), True, (32, 64))
+    want = np.asarray(jax.jit(serve)(x))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_export_selftest_cli(tmp_path, small_ckpt):
+    """The --load --selftest path exercises the user-facing verify flow."""
+    from tools.export_inference import main
+
+    out = str(tmp_path / "m")
+    common = ["--hw", "16,32", "--batch_size", "1", "--blocks", "1,1,2,1",
+              "--compute_dtype", "float32", "--platforms", "cpu"]
+    main(["--pretrained_ckpt_file", small_ckpt, "--output", out] + common)
+    main(["--load", out, "--selftest",
+          "--pretrained_ckpt_file", small_ckpt] + common)

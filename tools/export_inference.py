@@ -1,0 +1,186 @@
+"""Export the inference graph as a portable serialized StableHLO artifact.
+
+A TPU-native serving path the reference lacks entirely (its deployment
+story is "load the .pth in another torch process"): the single/multi-scale
+(+flip) prediction function — uint8 NHWC batch in, int32 trainId map out,
+normalization and TTA baked into the graph, parameters embedded as
+constants — is exported with ``jax.export`` to a self-contained artifact
+that any JAX process (or anything that consumes StableHLO) can load and
+run WITHOUT this framework, its config system, or the checkpoint format:
+
+    # export (params from an orbax dir or a reference-layout .pth)
+    python tools/export_inference.py --pretrained_ckpt_file runs/x/checkpoint_best \
+        --output serve/model --hw 512,1024 --batch_size 16 \
+        --compute_dtype bfloat16 [--scales 0.75,1.0,1.25 --flip true]
+
+    # verify an artifact: deserialize, run, compare against the live graph
+    python tools/export_inference.py --load serve/model --selftest ...
+
+    # consume anywhere (no maxsquareloss_tpu import needed):
+    from jax import export
+    fn = export.deserialize(open("serve/model.stablehlo", "rb").read())
+    trainids = fn.call(uint8_batch)          # (N, H, W) int32, -1 = ignore
+
+The artifact targets BOTH cpu and tpu platforms (one file serves local
+smoke tests and fleet deployment). Input resolution/batch are static —
+the serving contract (recorded in the sidecar model.json); evaluation
+metrics are batch-invariant and batch 16 is the measured throughput
+sweet spot on v5e (BASELINE.md "Eval batch size").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+from maxsquareloss_tpu.config import TrainConfig, str2bool
+from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+from maxsquareloss_tpu.train import checkpoint as ckpt_lib
+from maxsquareloss_tpu.train.steps import _prepare_inputs, model_config
+
+
+def load_params(cfg: TrainConfig):
+    """Checkpoint (orbax dir or reference .pth) → (params, frozen)."""
+    path = cfg.pretrained_ckpt_file
+    if path.endswith((".pth", ".pt")):
+        params, frozen = ckpt_lib.load_torch_pth(path, cfg.num_classes)
+        init_p, _ = init_deeplabv2(jax.random.key(0), model_config(cfg))
+        for k, v in init_p.items():
+            params.setdefault(k, v)
+        return params, frozen
+    payload = ckpt_lib.load_checkpoint(path)
+    state, frozen, _, _ = ckpt_lib.restore_train_state(payload)
+    return state.params, frozen
+
+
+def make_serving_fn(cfg: TrainConfig, params, frozen, scales, flip, out_hw):
+    """uint8 (or pre-normalized f32) NHWC batch → int32 trainIds.
+
+    Parameters are closed over (embedded as StableHLO constants); the
+    normalization (`cfg.numpy_transform` caffe or torchvision — the exact
+    `_prepare_inputs` the training step uses) runs in-graph, so the caller
+    ships raw decoded pixels.
+    """
+    from tools.predict import make_predict_fn
+
+    core = make_predict_fn(cfg, frozen, scales, flip, out_hw)
+
+    def serve(x):
+        x, _ = _prepare_inputs(x, None, cfg)
+        return core(params, x)
+
+    return serve
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("export_inference")
+    p.add_argument("--pretrained_ckpt_file", default=None,
+                   help="orbax checkpoint dir or reference-layout .pth")
+    p.add_argument("--output", default=None,
+                   help="artifact basename; writes <output>.stablehlo + .json")
+    p.add_argument("--load", default=None,
+                   help="verify an existing artifact basename instead")
+    p.add_argument("--selftest", action="store_true",
+                   help="with --load: run the artifact on a random batch and "
+                        "compare bit-for-bit against the live graph")
+    p.add_argument("--hw", default="512,1024", help="input H,W (static)")
+    p.add_argument("--out_hw", default=None,
+                   help="output label H,W (default = --hw); full-res "
+                        "protocol: 1024,2048")
+    p.add_argument("--batch_size", type=int, default=16,
+                   help="static serving batch (16 = measured v5e sweet spot)")
+    p.add_argument("--num_classes", type=int, default=19)
+    p.add_argument("--multi", type=str2bool, default=True)
+    p.add_argument("--blocks", default="3,4,23,3")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=("float32", "bfloat16"))
+    p.add_argument("--numpy_transform", type=str2bool, default=True)
+    p.add_argument("--scales", default="1.0")
+    p.add_argument("--flip", type=str2bool, default=False)
+    p.add_argument("--platforms", default="cpu,tpu",
+                   help="comma list of target platforms for the artifact")
+    args = p.parse_args(argv)
+
+    h, w = (int(v) for v in args.hw.split(","))
+    oh, ow = (int(v) for v in (args.out_hw or args.hw).split(","))
+    scales = tuple(float(s) for s in args.scales.split(","))
+    cfg = TrainConfig(
+        num_classes=args.num_classes,
+        multi=args.multi,
+        blocks=tuple(int(v) for v in args.blocks.split(",")),
+        compute_dtype=args.compute_dtype,
+        numpy_transform=args.numpy_transform,
+        device_normalize=True,  # serving contract: raw uint8 in
+        pretrained_ckpt_file=args.pretrained_ckpt_file,
+        data_parallel=False,
+    )
+    in_spec = jax.ShapeDtypeStruct((args.batch_size, h, w, 3), jnp.uint8)
+
+    if args.load:
+        with open(args.load + ".stablehlo", "rb") as f:
+            art = jax_export.deserialize(f.read())
+        meta = json.load(open(args.load + ".json"))
+        print(f"loaded {args.load}.stablehlo: platforms={art.platforms} "
+              f"in={meta['input_shape']} out_hw={meta['out_hw']}")
+        if args.selftest:
+            if not cfg.pretrained_ckpt_file:
+                p.error("--selftest needs --pretrained_ckpt_file to rebuild "
+                        "the live graph")
+            params, frozen = load_params(cfg)
+            serve = make_serving_fn(cfg, params, frozen, scales, args.flip,
+                                    (oh, ow))
+            rng = np.random.default_rng(0)
+            x = rng.integers(0, 256, size=tuple(meta["input_shape"])).astype(
+                np.uint8
+            )
+            got = np.asarray(art.call(x))
+            want = np.asarray(jax.jit(serve)(x))
+            np.testing.assert_array_equal(got, want)
+            print(f"selftest OK: artifact == live graph on "
+                  f"{meta['input_shape']} (exact)")
+        return
+
+    if not (args.pretrained_ckpt_file and args.output):
+        p.error("--pretrained_ckpt_file and --output are required for export")
+    params, frozen = load_params(cfg)
+    serve = make_serving_fn(cfg, params, frozen, scales, args.flip, (oh, ow))
+    exp = jax_export.export(
+        jax.jit(serve),
+        platforms=tuple(s.strip() for s in args.platforms.split(",")),
+    )(in_spec)
+    blob = exp.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
+    with open(args.output + ".stablehlo", "wb") as f:
+        f.write(blob)
+    meta = {
+        "input_shape": list(in_spec.shape),
+        "input_dtype": "uint8",
+        "output": "int32 trainIds (N, out_h, out_w); -1 = ignore",
+        "out_hw": [oh, ow],
+        "num_classes": args.num_classes,
+        "normalization": "caffe BGR-mean" if args.numpy_transform
+                         else "torchvision mean/std",
+        "compute_dtype": args.compute_dtype,
+        "scales": list(scales),
+        "flip": args.flip,
+        "platforms": list(exp.platforms),
+        "consume": "jax.export.deserialize(blob).call(uint8_batch)",
+    }
+    with open(args.output + ".json", "w") as f:
+        json.dump(meta, f, indent=1)
+    print(f"wrote {args.output}.stablehlo ({len(blob) / 1e6:.1f} MB, "
+          f"platforms {exp.platforms}) + {args.output}.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -44,13 +44,14 @@ from maxsquareloss_tpu.utils.logging import setup_logger
 from tools.common import default_paths
 
 
-def make_predict_step(cfg, frozen, scales, flip, out_hw):
-    """Multi-scale (+flip) probability-averaged argmax (SURVEY.md §3.3)."""
+def make_predict_fn(cfg, frozen, scales, flip, out_hw):
+    """Unjitted multi-scale (+flip) probability-averaged argmax core
+    (SURVEY.md §3.3): (params, x_normalized_f32) -> int32 trainIds. Shared
+    by the jitted predict step below and tools/export_inference.py."""
     mcfg = model_config(cfg, eval_mode=True)
     scales = tuple(float(s) for s in scales)
 
-    @functools.partial(jax.jit, compiler_options=step_compiler_options(cfg))
-    def step(params, x):
+    def fn(params, x):
         h, w = x.shape[1], x.shape[2]
 
         def prob_for(img):
@@ -71,7 +72,14 @@ def make_predict_step(cfg, frozen, scales, flip, out_hw):
             prob = p if prob is None else prob + p
         return jnp.argmax(prob, axis=-1).astype(jnp.int32)
 
-    return step
+    return fn
+
+
+def make_predict_step(cfg, frozen, scales, flip, out_hw):
+    """Jitted make_predict_fn (one compile per output size)."""
+    return functools.partial(
+        jax.jit, compiler_options=step_compiler_options(cfg)
+    )(make_predict_fn(cfg, frozen, scales, flip, out_hw))
 
 
 def main(argv=None):
