@@ -34,10 +34,7 @@ from maxsquareloss_tpu.config import add_train_args, config_from_args, str2bool
 from maxsquareloss_tpu.data.palette import decode_labels
 from maxsquareloss_tpu.data.transforms import img_transform
 from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2, init_deeplabv2
-from maxsquareloss_tpu.ops.resize import (
-    resize_bilinear_align_corners,
-    upsample_logits,
-)
+from maxsquareloss_tpu.ops.resize import resize_bilinear_align_corners
 from maxsquareloss_tpu.train import checkpoint as ckpt_lib
 from maxsquareloss_tpu.train.steps import model_config, step_compiler_options
 from maxsquareloss_tpu.utils.logging import setup_logger
@@ -47,30 +44,65 @@ from tools.common import default_paths
 def make_predict_fn(cfg, frozen, scales, flip, out_hw):
     """Unjitted multi-scale (+flip) probability-averaged argmax core
     (SURVEY.md §3.3): (params, x_normalized_f32) -> int32 trainIds. Shared
-    by the jitted predict step below and tools/export_inference.py."""
+    by the jitted predict step below and tools/export_inference.py.
+
+    Like the evaluator, the upsample→softmax→average→argmax tail streams
+    over output-row blocks per cfg.eval_h_chunk (auto by default: 256-row
+    chunks when out_hw[0] > 512) — EXACT (row-local interpolation), and
+    required at full-res output: an unchunked (N, 1024, 2048, C) prob
+    tensor is ~2.5 GB fp32 at batch 16."""
+    from maxsquareloss_tpu.train.evaluator import resolve_h_chunk
+
     mcfg = model_config(cfg, eval_mode=True)
     scales = tuple(float(s) for s in scales)
+    hc = resolve_h_chunk(cfg.eval_h_chunk, out_hw[0])
 
     def fn(params, x):
         h, w = x.shape[1], x.shape[2]
 
-        def prob_for(img):
+        def logits_for(img):
             _, main = apply_deeplabv2(params, frozen, img, mcfg)
-            main = upsample_logits(main, out_hw)
-            return jax.nn.softmax(main, axis=-1)
+            return main  # OS8 resolution; upsample happens per row chunk
 
-        prob = None
+        n = x.shape[0]
+        heads = []  # (logits, flipped) pairs, probability-summed below
         for s in scales:
             sh, sw = max(1, round(h * s)), max(1, round(w * s))
             img = (
                 x if (sh, sw) == (h, w)
                 else resize_bilinear_align_corners(x, (sh, sw))
             )
-            p = prob_for(img)
             if flip:
-                p = p + prob_for(img[:, :, ::-1, :])[:, :, ::-1, :]
-            prob = p if prob is None else prob + p
-        return jnp.argmax(prob, axis=-1).astype(jnp.int32)
+                # one doubled-batch forward (frozen BN → exact; BASELINE.md
+                # flip-TTA note)
+                both = logits_for(
+                    jnp.concatenate([img, img[:, :, ::-1, :]], axis=0)
+                )
+                heads.append((both[:n], False))
+                heads.append((both[n:], True))
+            else:
+                heads.append((logits_for(img), False))
+
+        def arg_rows(r0, r1):
+            prob = None
+            for logits, flipped in heads:
+                up = resize_bilinear_align_corners(
+                    logits, out_hw, h_rows=(r0, r1)
+                )
+                # single head: argmax is softmax-invariant
+                p = up if len(heads) == 1 else jax.nn.softmax(up, axis=-1)
+                if flipped:
+                    p = p[:, :, ::-1, :]
+                prob = p if prob is None else prob + p
+            return jnp.argmax(prob, axis=-1).astype(jnp.int32)
+
+        if not hc or hc >= out_hw[0]:
+            return arg_rows(0, out_hw[0])
+        return jnp.concatenate(
+            [arg_rows(r0, min(r0 + hc, out_hw[0]))
+             for r0 in range(0, out_hw[0], hc)],
+            axis=1,
+        )
 
     return fn
 
