@@ -64,6 +64,11 @@ class TrainConfig:
 
     # data
     batch_size: int = 4
+    # validation/eval batch (0 = same as batch_size). Forward-only graphs
+    # fit much larger batches and metrics are batch-invariant; batch 16 is
+    # the measured v5e throughput sweet spot, +10-16% (BASELINE.md "Eval
+    # batch size").
+    eval_batch_size: int = 0
     dataset: str = "gta5"
     base_size: tuple[int, int] = (1280, 720)
     crop_size: tuple[int, int] = (1280, 640)
@@ -152,6 +157,10 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--poly_power", type=float, default=0.9)
     p.add_argument("--lambda_seg", type=float, default=0.1)
     p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--eval_batch_size", type=int, default=0,
+                   help="validation/eval batch (0 = same as --batch_size; "
+                        "16 is the measured TPU throughput sweet spot, "
+                        "metrics are batch-invariant)")
     p.add_argument("--base_size", default="1280,720")
     p.add_argument("--crop_size", default="1280,640")
     p.add_argument("--num_workers", type=int, default=8)

@@ -87,6 +87,43 @@ def test_train_id_checkpoint_dir_shim(tmp_path):
     )
 
 
+def test_eval_batch_size_applies_to_val_loaders_only(tmp_path):
+    """--eval_batch_size sizes val/eval loaders; train loaders keep
+    --batch_size (metrics are batch-invariant; BASELINE.md 'Eval batch
+    size')."""
+    import numpy as np
+    from PIL import Image
+
+    from tools.common import make_loader
+
+    root = tmp_path / "data"
+    rel = "leftImg8bit/val/x/x_000000_leftImg8bit.png"
+    lrel = rel.replace("leftImg8bit", "gtFine", 1).replace(
+        "_leftImg8bit.png", "_gtFine_labelIds.png"
+    )
+    (root / rel).parent.mkdir(parents=True)
+    (root / lrel).parent.mkdir(parents=True)
+    Image.fromarray(np.zeros((16, 32, 3), np.uint8)).save(root / rel)
+    Image.fromarray(np.zeros((16, 32), np.uint8)).save(root / lrel)
+    (root / "val.txt").write_text(rel)
+
+    args = _parse(["--checkpoint_dir", str(tmp_path / "run"),
+                   "--batch_size", "8", "--eval_batch_size", "16",
+                   "--base_size", "32,16", "--crop_size", "32,16"])
+    cfg = config_from_args(args)
+    assert cfg.eval_batch_size == 16
+    val = make_loader(cfg, "cityscapes", str(root), str(root / "val.txt"), "val")
+    train = make_loader(cfg, "cityscapes", str(root), str(root / "val.txt"), "train")
+    assert val.batch_size == 16 and train.batch_size == 8
+    # default 0 = same as batch_size (no behavior change)
+    assert TrainConfig().eval_batch_size == 0
+    cfg0 = config_from_args(_parse(["--checkpoint_dir", str(tmp_path / "r2"),
+                                    "--batch_size", "8"]))
+    assert make_loader(
+        cfg0, "cityscapes", str(root), str(root / "val.txt"), "val"
+    ).batch_size == 8
+
+
 def test_xla_options_flag(tmp_path, monkeypatch):
     args = _parse(["--checkpoint_dir", str(tmp_path),
                    "--xla_options", "xla_tpu_scoped_vmem_limit_kib=16384"])

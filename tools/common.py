@@ -88,12 +88,17 @@ def make_loader(
         transform_cfg=transform_cfg(cfg, target=target),
         **dataset_kw,
     )
-    # multi-host: cfg.batch_size is the GLOBAL batch; each process loads a
-    # disjoint shard of size batch/process_count (SURVEY.md §5.8)
+    # multi-host: batch sizes are GLOBAL; each process loads a disjoint
+    # shard of size batch/process_count (SURVEY.md §5.8). Validation uses
+    # cfg.eval_batch_size when set — forward-only graphs fit larger
+    # batches and eval metrics are batch-invariant (BASELINE.md).
+    batch = cfg.batch_size
+    if split != "train" and cfg.eval_batch_size:
+        batch = cfg.eval_batch_size
     procs = jax.process_count()
-    if cfg.batch_size % procs != 0:  # not an assert: must survive python -O
+    if batch % procs != 0:  # not an assert: must survive python -O
         raise ValueError(
-            f"global batch {cfg.batch_size} not divisible by {procs} processes"
+            f"global batch {batch} not divisible by {procs} processes"
         )
     if cfg.loader == "grain":
         from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
@@ -103,7 +108,7 @@ def make_loader(
         loader_cls = SegDataLoader
     return loader_cls(
         ds,
-        batch_size=cfg.batch_size // procs,
+        batch_size=batch // procs,
         shuffle=split == "train",
         num_workers=cfg.num_workers,
         seed=cfg.seed,
