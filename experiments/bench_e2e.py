@@ -257,21 +257,24 @@ def run_e2e(args) -> dict:
     last = None  # final (xs, ys, xt) batch; feeds h2d + device-only legs
 
     def timed_leg(data_root, cache_root, first_epoch):
-        """One warmup/priming epoch, then `epochs` timed ones → epoch rates."""
-        nonlocal state, last, n_imgs, loss
+        """One warmup/priming epoch, then `epochs` timed ones.
+
+        Returns (epoch rates, epoch images, last epoch's loss)."""
+        nonlocal state, last
         s_l, t_l = _make_loaders(data_root, cfg, cache_root, args.num_workers)
         state, _, _, _, _ = _timed_epoch(step, state, s_l, t_l, first_epoch)
-        rates = []
+        rates, n, leg_loss = [], 0, float("nan")
         for e in range(first_epoch + 1, first_epoch + 1 + epochs):
-            state, r, n_imgs, loss, last = _timed_epoch(step, state, s_l, t_l, e)
+            state, r, n, leg_loss, last = _timed_epoch(step, state, s_l, t_l, e)
             rates.append(r)
-        return rates
+        return rates, n, leg_loss
 
-    n_imgs = loss = None
-    # cold: no cache, PNG decode + resize every epoch (epoch 0 = compile too)
-    cold_rates = timed_leg(root, None, 0)
+    # cold: no cache, PNG decode + resize every epoch (epoch 0 = compile too).
+    # final_loss in the artifact is the COLD leg's (the pre-round-4 meaning,
+    # comparable across rounds; later legs keep training the same state).
+    cold_rates, n_imgs, loss = timed_leg(root, None, 0)
     # warm: decoded-sample npz cache, primed by the leg's first epoch
-    warm_rates = timed_leg(root, os.path.join(root, "_cache"), 100)
+    warm_rates, _, _ = timed_leg(root, os.path.join(root, "_cache"), 100)
     # prepared: tools/prepare_dataset.py pre-resized PNGs at base_size → the
     # fused C++ train fast path (no npz cache needed); the production
     # recommendation for static datasets (VERDICT r3 #6)
@@ -285,7 +288,7 @@ def run_e2e(args) -> dict:
                   f"{root}/Cityscapes/train.txt", f"{prep_root}/Cityscapes",
                   tuple(cfg.target_base_size), "train",
                   num_workers=args.num_workers)
-    prep_rates = timed_leg(prep_root, None, 200)
+    prep_rates, _, _ = timed_leg(prep_root, None, 200)
 
     cold_rate = float(np.median(cold_rates))
     warm_rate = float(np.median(warm_rates))

@@ -261,5 +261,10 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
             kv.get("checkpoint_dir", "./runs/default"), train_id
         )
     cfg = TrainConfig(**kv)
+    if cfg.eval_batch_size < 0:
+        raise ValueError(
+            f"--eval_batch_size must be >= 0 (0 = same as --batch_size), "
+            f"got {cfg.eval_batch_size}"
+        )
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     return cfg

@@ -38,6 +38,53 @@ def resolve_h_chunk(h_chunk: int, out_h: int) -> int:
     return h_chunk
 
 
+def tta_prob_rows(params, x, frozen, mcfg, scales, flip, out_hw):
+    """Build the TTA head set and return ``prob_rows(r0, r1)``.
+
+    One forward per scale (align-corners input resize); flip TTA rides the
+    same forward as a doubled batch (frozen BN → no cross-batch coupling;
+    measured faster — BASELINE.md flip-TTA note). ``prob_rows`` yields the
+    scale/flip-averaged probabilities for output rows [r0, r1) — raw
+    logits when there is a single head, since argmax is softmax-invariant.
+    This is the exactness-critical TTA core shared by the evaluator,
+    tools/predict.py, and the serving exporter (round-4 review: keep ONE
+    copy)."""
+    h, w = x.shape[1], x.shape[2]
+
+    def logits_for(img):
+        _, main = apply_deeplabv2(params, frozen, img, mcfg)
+        return main  # OS8 resolution — small; upsample happens per chunk
+
+    n = x.shape[0]
+    heads = []  # (logits, flipped_w) pairs, probability-summed below
+    for s in scales:
+        sh, sw = max(1, round(h * s)), max(1, round(w * s))
+        img = (
+            x if (sh, sw) == (h, w)
+            else resize_bilinear_align_corners(x, (sh, sw))
+        )
+        if flip:
+            both = logits_for(
+                jnp.concatenate([img, img[:, :, ::-1, :]], axis=0)
+            )
+            heads.append((both[:n], False))
+            heads.append((both[n:], True))
+        else:
+            heads.append((logits_for(img), False))
+
+    def prob_rows(r0: int, r1: int):
+        prob = None
+        for logits, flipped in heads:
+            up = resize_bilinear_align_corners(logits, out_hw, h_rows=(r0, r1))
+            p = up if len(heads) == 1 else jax.nn.softmax(up, axis=-1)
+            if flipped:
+                p = p[:, :, ::-1, :]
+            prob = p if prob is None else prob + p
+        return prob
+
+    return prob_rows
+
+
 def make_multiscale_eval_step(
     cfg: TrainConfig,
     frozen: Any,
@@ -74,50 +121,8 @@ def make_multiscale_eval_step(
         from maxsquareloss_tpu.train.steps import _prepare_inputs
 
         x, y = _prepare_inputs(x, y, cfg)
-        h, w = x.shape[1], x.shape[2]
         out_hw = (y.shape[1], y.shape[2])
-
-        def logits_for(img):
-            _, main = apply_deeplabv2(params, frozen, img, mcfg)
-            return main  # OS8 resolution — small; upsample happens per chunk
-
-        n = x.shape[0]
-        heads = []  # (logits, flipped_w) pairs, probability-summed below
-        for s in scales:
-            sh, sw = max(1, round(h * s)), max(1, round(w * s))
-            img = (
-                x if (sh, sw) == (h, w)
-                else resize_bilinear_align_corners(x, (sh, sw))
-            )
-            if flip:
-                # one forward over [img; w-flipped img]: exact (frozen BN →
-                # no cross-batch coupling) and runs the flip TTA head on the
-                # MXU as a doubled batch instead of a second launch chain
-                both = logits_for(
-                    jnp.concatenate([img, img[:, :, ::-1, :]], axis=0)
-                )
-                heads.append((both[:n], False))
-                heads.append((both[n:], True))
-            else:
-                heads.append((logits_for(img), False))
-
-        def prob_rows(r0: int, r1: int):
-            """Scale/flip-averaged probabilities for output rows [r0, r1)."""
-            prob = None
-            for logits, flipped in heads:
-                up = resize_bilinear_align_corners(
-                    logits, out_hw, h_rows=(r0, r1)
-                )
-                # argmax is softmax-invariant, so with a single head the
-                # softmax is dead weight — skipping it keeps the delegated
-                # single-scale eval step (steps.make_eval_step) identical
-                # to a plain logits-argmax.
-                p = up if len(heads) == 1 else jax.nn.softmax(up, axis=-1)
-                if flipped:
-                    p = p[:, :, ::-1, :]
-                prob = p if prob is None else prob + p
-            return prob
-
+        prob_rows = tta_prob_rows(params, x, frozen, mcfg, scales, flip, out_hw)
         hc = resolve_h_chunk(h_chunk, out_hw[0])
         if not hc or hc >= out_hw[0]:
             argpred = jnp.argmax(prob_rows(0, out_hw[0]), axis=-1).astype(jnp.int32)

@@ -67,12 +67,15 @@ def test_export_roundtrip_exact(tmp_path, small_ckpt, rng):
 
 
 def test_export_selftest_cli(tmp_path, small_ckpt):
-    """The --load --selftest path exercises the user-facing verify flow."""
+    """--load --selftest rebuilds the live graph from the artifact's OWN
+    sidecar — no export flags re-typed (blocks/out_hw/scales/flip here all
+    differ from the CLI defaults, so using defaults would fail or verify
+    the wrong graph — round-4 review finding)."""
     from tools.export_inference import main
 
     out = str(tmp_path / "m")
-    common = ["--hw", "16,32", "--batch_size", "1", "--blocks", "1,1,2,1",
-              "--compute_dtype", "float32", "--platforms", "cpu"]
-    main(["--pretrained_ckpt_file", small_ckpt, "--output", out] + common)
-    main(["--load", out, "--selftest",
-          "--pretrained_ckpt_file", small_ckpt] + common)
+    main(["--pretrained_ckpt_file", small_ckpt, "--output", out,
+          "--hw", "16,32", "--out_hw", "32,64", "--batch_size", "1",
+          "--blocks", "1,1,2,1", "--compute_dtype", "float32",
+          "--platforms", "cpu", "--scales", "0.75,1.0", "--flip", "true"])
+    main(["--load", out, "--selftest", "--pretrained_ckpt_file", small_ckpt])

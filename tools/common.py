@@ -119,6 +119,32 @@ def make_loader(
     )
 
 
+def load_inference_params(cfg: TrainConfig):
+    """``--pretrained_ckpt_file`` → (params, frozen) for inference tools.
+
+    Accepts both native orbax checkpoint dirs and reference-layout torch
+    ``.pth`` files (SURVEY.md §5.4); heads the .pth lacks (class-count
+    changes) are filled from a fresh init. One shared helper for
+    evaluate.py / predict.py / export_inference.py.
+    """
+    import jax.random
+
+    from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
+    from maxsquareloss_tpu.train import checkpoint as ckpt_lib
+    from maxsquareloss_tpu.train.steps import model_config
+
+    path = cfg.pretrained_ckpt_file
+    if path.endswith((".pth", ".pt")):
+        params, frozen = ckpt_lib.load_torch_pth(path, cfg.num_classes)
+        init_p, _ = init_deeplabv2(jax.random.key(0), model_config(cfg))
+        for k, v in init_p.items():
+            params.setdefault(k, v)
+        return params, frozen
+    payload = ckpt_lib.load_checkpoint(path)
+    state, frozen, _, _ = ckpt_lib.restore_train_state(payload)
+    return state.params, frozen
+
+
 def maybe_init_distributed(cfg: TrainConfig):
     """Multi-host bring-up (must run before any other jax device use)."""
     from maxsquareloss_tpu.parallel.multihost import initialize_distributed

@@ -20,11 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 from maxsquareloss_tpu.config import add_train_args, config_from_args, str2bool
-from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
 from maxsquareloss_tpu.parallel.mesh import data_parallel_mesh, replicate_tree
-from maxsquareloss_tpu.train import checkpoint as ckpt_lib
 from maxsquareloss_tpu.train.evaluator import evaluate
-from maxsquareloss_tpu.train.steps import model_config
 from maxsquareloss_tpu.utils.logging import setup_logger
 from tools.common import default_paths, make_loader, maybe_init_distributed
 
@@ -44,17 +41,9 @@ def main(argv=None):
 
     if not cfg.pretrained_ckpt_file:
         parser.error("--pretrained_ckpt_file is required")
-    if cfg.pretrained_ckpt_file.endswith((".pth", ".pt")):
-        params, frozen = ckpt_lib.load_torch_pth(
-            cfg.pretrained_ckpt_file, cfg.num_classes
-        )
-        init_p, _ = init_deeplabv2(jax.random.key(0), model_config(cfg))
-        for k, v in init_p.items():
-            params.setdefault(k, v)
-    else:
-        payload = ckpt_lib.load_checkpoint(cfg.pretrained_ckpt_file)
-        state, frozen, _, _ = ckpt_lib.restore_train_state(payload)
-        params = state.params
+    from tools.common import load_inference_params
+
+    params, frozen = load_inference_params(cfg)
 
     mesh = data_parallel_mesh() if cfg.data_parallel else None
     if mesh is not None:

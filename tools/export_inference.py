@@ -44,23 +44,14 @@ import jax.numpy as jnp
 from jax import export as jax_export
 
 from maxsquareloss_tpu.config import TrainConfig, str2bool
-from maxsquareloss_tpu.models.deeplabv2 import init_deeplabv2
-from maxsquareloss_tpu.train import checkpoint as ckpt_lib
-from maxsquareloss_tpu.train.steps import _prepare_inputs, model_config
+from maxsquareloss_tpu.train.steps import _prepare_inputs
 
 
 def load_params(cfg: TrainConfig):
     """Checkpoint (orbax dir or reference .pth) → (params, frozen)."""
-    path = cfg.pretrained_ckpt_file
-    if path.endswith((".pth", ".pt")):
-        params, frozen = ckpt_lib.load_torch_pth(path, cfg.num_classes)
-        init_p, _ = init_deeplabv2(jax.random.key(0), model_config(cfg))
-        for k, v in init_p.items():
-            params.setdefault(k, v)
-        return params, frozen
-    payload = ckpt_lib.load_checkpoint(path)
-    state, frozen, _, _ = ckpt_lib.restore_train_state(payload)
-    return state.params, frozen
+    from tools.common import load_inference_params
+
+    return load_inference_params(cfg)
 
 
 def make_serving_fn(cfg: TrainConfig, params, frozen, scales, flip, out_hw):
@@ -133,12 +124,28 @@ def main(argv=None):
         print(f"loaded {args.load}.stablehlo: platforms={art.platforms} "
               f"in={meta['input_shape']} out_hw={meta['out_hw']}")
         if args.selftest:
-            if not cfg.pretrained_ckpt_file:
+            if not args.pretrained_ckpt_file:
                 p.error("--selftest needs --pretrained_ckpt_file to rebuild "
                         "the live graph")
+            # rebuild the live reference graph from the artifact's OWN
+            # sidecar, not from CLI flags: re-typing the export flags
+            # wrongly would either fail spuriously or silently verify
+            # against a different graph (round-4 review finding)
+            cfg = TrainConfig(
+                num_classes=meta["num_classes"],
+                multi=meta["multi"],
+                blocks=tuple(meta["blocks"]),
+                compute_dtype=meta["compute_dtype"],
+                numpy_transform=meta["normalization"] == "caffe BGR-mean",
+                device_normalize=True,
+                pretrained_ckpt_file=args.pretrained_ckpt_file,
+                data_parallel=False,
+            )
             params, frozen = load_params(cfg)
-            serve = make_serving_fn(cfg, params, frozen, scales, args.flip,
-                                    (oh, ow))
+            serve = make_serving_fn(
+                cfg, params, frozen, tuple(meta["scales"]), meta["flip"],
+                tuple(meta["out_hw"]),
+            )
             rng = np.random.default_rng(0)
             x = rng.integers(0, 256, size=tuple(meta["input_shape"])).astype(
                 np.uint8
@@ -168,6 +175,8 @@ def main(argv=None):
         "output": "int32 trainIds (N, out_h, out_w); -1 = ignore",
         "out_hw": [oh, ow],
         "num_classes": args.num_classes,
+        "multi": args.multi,
+        "blocks": list(cfg.blocks),
         "normalization": "caffe BGR-mean" if args.numpy_transform
                          else "torchvision mean/std",
         "compute_dtype": args.compute_dtype,

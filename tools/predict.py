@@ -33,9 +33,6 @@ import jax.numpy as jnp
 from maxsquareloss_tpu.config import add_train_args, config_from_args, str2bool
 from maxsquareloss_tpu.data.palette import decode_labels
 from maxsquareloss_tpu.data.transforms import img_transform
-from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2, init_deeplabv2
-from maxsquareloss_tpu.ops.resize import resize_bilinear_align_corners
-from maxsquareloss_tpu.train import checkpoint as ckpt_lib
 from maxsquareloss_tpu.train.steps import model_config, step_compiler_options
 from maxsquareloss_tpu.utils.logging import setup_logger
 from tools.common import default_paths
@@ -50,51 +47,20 @@ def make_predict_fn(cfg, frozen, scales, flip, out_hw):
     over output-row blocks per cfg.eval_h_chunk (auto by default: 256-row
     chunks when out_hw[0] > 512) — EXACT (row-local interpolation), and
     required at full-res output: an unchunked (N, 1024, 2048, C) prob
-    tensor is ~2.5 GB fp32 at batch 16."""
-    from maxsquareloss_tpu.train.evaluator import resolve_h_chunk
+    tensor is ~2.5 GB fp32 at batch 16. The TTA head construction and
+    row-sliced probability math are the evaluator's own
+    (evaluator.tta_prob_rows — one shared copy)."""
+    from maxsquareloss_tpu.train.evaluator import resolve_h_chunk, tta_prob_rows
 
     mcfg = model_config(cfg, eval_mode=True)
     scales = tuple(float(s) for s in scales)
     hc = resolve_h_chunk(cfg.eval_h_chunk, out_hw[0])
 
     def fn(params, x):
-        h, w = x.shape[1], x.shape[2]
-
-        def logits_for(img):
-            _, main = apply_deeplabv2(params, frozen, img, mcfg)
-            return main  # OS8 resolution; upsample happens per row chunk
-
-        n = x.shape[0]
-        heads = []  # (logits, flipped) pairs, probability-summed below
-        for s in scales:
-            sh, sw = max(1, round(h * s)), max(1, round(w * s))
-            img = (
-                x if (sh, sw) == (h, w)
-                else resize_bilinear_align_corners(x, (sh, sw))
-            )
-            if flip:
-                # one doubled-batch forward (frozen BN → exact; BASELINE.md
-                # flip-TTA note)
-                both = logits_for(
-                    jnp.concatenate([img, img[:, :, ::-1, :]], axis=0)
-                )
-                heads.append((both[:n], False))
-                heads.append((both[n:], True))
-            else:
-                heads.append((logits_for(img), False))
+        prob_rows = tta_prob_rows(params, x, frozen, mcfg, scales, flip, out_hw)
 
         def arg_rows(r0, r1):
-            prob = None
-            for logits, flipped in heads:
-                up = resize_bilinear_align_corners(
-                    logits, out_hw, h_rows=(r0, r1)
-                )
-                # single head: argmax is softmax-invariant
-                p = up if len(heads) == 1 else jax.nn.softmax(up, axis=-1)
-                if flipped:
-                    p = p[:, :, ::-1, :]
-                prob = p if prob is None else prob + p
-            return jnp.argmax(prob, axis=-1).astype(jnp.int32)
+            return jnp.argmax(prob_rows(r0, r1), axis=-1).astype(jnp.int32)
 
         if not hc or hc >= out_hw[0]:
             return arg_rows(0, out_hw[0])
@@ -130,17 +96,9 @@ def main(argv=None):
 
     if not cfg.pretrained_ckpt_file:
         parser.error("--pretrained_ckpt_file is required")
-    if cfg.pretrained_ckpt_file.endswith((".pth", ".pt")):
-        params, frozen = ckpt_lib.load_torch_pth(
-            cfg.pretrained_ckpt_file, cfg.num_classes
-        )
-        init_p, _ = init_deeplabv2(jax.random.key(0), model_config(cfg))
-        for k, v in init_p.items():
-            params.setdefault(k, v)
-    else:
-        payload = ckpt_lib.load_checkpoint(cfg.pretrained_ckpt_file)
-        state, frozen, _, _ = ckpt_lib.restore_train_state(payload)
-        params = state.params
+    from tools.common import load_inference_params
+
+    params, frozen = load_inference_params(cfg)
 
     paths = default_paths(args.data_root_path)[cfg.dataset]
     list_path = args.list_path or paths["val"]
