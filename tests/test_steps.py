@@ -179,17 +179,22 @@ def test_bfloat16_trajectory_tracks_fp32(rng):
     assert float(np.linalg.norm(flat16 - flat32)) / denom < 5e-3
 
 
-def test_uda_trajectory_matches_torch(rng):
-    """6-step UDA loss trajectory parity vs the torch reference loop:
-    source CE + IW max-square with ensemble guidance + aux guidance CE,
-    two param groups, poly LR (the paper's full training semantics)."""
+@pytest.mark.parametrize(
+    "mode", ["IW_maxsquare", "maxsquare", "entropy", "IW_entropy", "hard"]
+)
+def test_uda_trajectory_matches_torch(rng, mode):
+    """6-step UDA loss trajectory parity vs the torch reference loop for
+    EVERY --target_mode: source CE + lambda_target * target loss with
+    ensemble guidance + aux guidance CE, two param groups, poly LR (the
+    paper's full training semantics; round 4 extended from IW-only to all
+    five modes)."""
     from maxsquareloss_tpu.convert import torch_state_dict_to_pytrees
     from tests.torch_oracle import make_oracle, train_oracle_uda
 
     model = make_oracle(layers=SMALL)
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
     params, frozen = torch_state_dict_to_pytrees(sd, blocks=SMALL)
-    cfg = _small_cfg(target_mode="IW_maxsquare", threshold=0.5)
+    cfg = _small_cfg(target_mode=mode, threshold=0.5)
     batches = [
         (
             rng.normal(0, 1, (2, 32, 64, 3)).astype(np.float32),
@@ -210,7 +215,7 @@ def test_uda_trajectory_matches_torch(rng):
         model, batches, base_lr=cfg.lr, max_iter=cfg.iter_max,
         power=cfg.poly_power, momentum=cfg.momentum, wd=cfg.weight_decay,
         lambda_seg=cfg.lambda_seg, lambda_target=cfg.lambda_target,
-        ratio=cfg.ratio, threshold=cfg.threshold,
+        ratio=cfg.ratio, threshold=cfg.threshold, target_mode=mode,
     )
     np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3)
 

@@ -168,10 +168,15 @@ def train_oracle_supervised(model, batches, base_lr=2.5e-4, max_iter=100, power=
 
 def train_oracle_uda(model, batches, base_lr=2.5e-4, max_iter=100, power=0.9,
                      momentum=0.9, wd=5e-4, lambda_seg=0.1, lambda_target=0.09,
-                     ratio=0.2, threshold=0.95, num_class=19):
-    """Reference-semantics UDA loop: source CE + lambda_target * IW-max-square
-    (guidance label into the histogram, detached weights gathered by argpred)
+                     ratio=0.2, threshold=0.95, num_class=19,
+                     target_mode="IW_maxsquare"):
+    """Reference-semantics UDA loop: source CE + lambda_target * target loss
+    (mode-dispatched like the reference's --target_mode branch: maxsquare /
+    IW_maxsquare / entropy / IW_entropy / hard; IW modes count the guidance
+    label in the histogram, detached weights gathered by argpred)
     + lambda_target*lambda_seg * aux guidance CE; one SGD step per pair."""
+    import math
+
     import numpy as np
     import torch.nn.functional as F
 
@@ -212,18 +217,44 @@ def train_oracle_uda(model, batches, base_lr=2.5e-4, max_iter=100, power=0.9,
         label = torch.where(maxp > threshold, arg, torch.full_like(arg, -1)).detach()
 
         n = p_main.shape[0]
-        argpred = p_main.argmax(dim=1)
-        pix_w = torch.zeros_like(maxp)
-        for i in range(n):
-            hist = torch.histc(
-                label[i].float(), bins=num_class + 1, min=-1, max=num_class - 1
-            ).float()[1:]
-            w = 1.0 / torch.max(
-                hist.pow(ratio) * hist.sum().pow(1 - ratio), torch.ones(1)
-            )
-            pix_w[i] = w[argpred[i]]
-        pix_w = pix_w.detach()
-        loss_t = -(p_main.pow(2) * pix_w.unsqueeze(1)).sum() / (n * num_class)
+
+        def iw_pixel_weights():
+            argpred = p_main.argmax(dim=1)
+            pix_w = torch.zeros_like(maxp)
+            for i in range(n):
+                hist = torch.histc(
+                    label[i].float(), bins=num_class + 1, min=-1,
+                    max=num_class - 1,
+                ).float()[1:]
+                w = 1.0 / torch.max(
+                    hist.pow(ratio) * hist.sum().pow(1 - ratio), torch.ones(1)
+                )
+                pix_w[i] = w[argpred[i]]
+            return pix_w.detach()
+
+        if target_mode == "IW_maxsquare":
+            pix_w = iw_pixel_weights()
+            loss_t = -(p_main.pow(2) * pix_w.unsqueeze(1)).sum() / (n * num_class)
+        elif target_mode == "maxsquare":
+            loss_t = -p_main.pow(2).mean() / 2
+        elif target_mode == "entropy":
+            ent = -(p_main * torch.log(p_main + 1e-30)).sum(dim=1)
+            loss_t = ent.mean() / math.log(num_class)
+        elif target_mode == "IW_entropy":
+            pix_w = iw_pixel_weights()
+            ent = -(p_main * torch.log(p_main + 1e-30)).sum(dim=1)
+            loss_t = (ent * pix_w).mean() / math.log(num_class)
+        elif target_mode == "hard":
+            # hard pseudo-label CE on the main head's log-probabilities
+            # (guard the all-ignored readout like the aux CE below)
+            if (label != -1).any():
+                loss_t = F.nll_loss(
+                    torch.log(p_main.clamp(min=1e-30)), label, ignore_index=-1
+                )
+            else:
+                loss_t = torch.zeros(())
+        else:
+            raise ValueError(f"unknown target_mode {target_mode!r}")
         # torch CE over an all-ignored target reads NaN (with zero grads);
         # the jax framework returns 0 for that case — same gradients, so
         # guard the readout identically for trajectory comparison
