@@ -98,6 +98,12 @@ class TrainConfig:
     validation_epoch: int = 1
     show_num_images: int = 3
     data_parallel: bool = True         # shard batch over all local devices
+    # spatial partitioning: shard the image HEIGHT dim over a 'space' mesh
+    # axis of this size (GSPMD inserts the conv halo exchanges over ICI).
+    # The scale-out path for batch-1 / full-res eval+inference where the
+    # batch axis has nothing left to shard; 1 = off (pure DP). Device count
+    # must be divisible by sp. Exactness: parallel/mesh.py docstring.
+    sp: int = 1
     # stream the eval upsample->softmax->argmax->CM tail over N output rows
     # at a time. EXACT (row-local interpolation, sliced H-matmul); keeps the
     # (N, 2048, 1024, C) full-res probability tensor out of HBM. -1 = auto
@@ -191,6 +197,11 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="XLA compiler options for the jitted steps: 'auto' "
                         "(measured-best on TPU), '' (none), or 'k=v,k=v'")
     p.add_argument("--data_parallel", type=str2bool, default=True)
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial partitioning: shard image height over a "
+                        "'space' mesh axis of this size (batch shards over "
+                        "the remaining devices/sp). For batch-1/full-res "
+                        "eval+inference scaling; 1 = off")
     p.add_argument("--eval_h_chunk", type=int, default=-1,
                    help="stream eval upsample/argmax/CM over N output rows "
                         "at a time (exact; for full-res label protocols). "
@@ -265,6 +276,13 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         raise ValueError(
             f"--eval_batch_size must be >= 0 (0 = same as --batch_size), "
             f"got {cfg.eval_batch_size}"
+        )
+    if cfg.sp < 1:
+        raise ValueError(f"--sp must be >= 1, got {cfg.sp}")
+    if cfg.sp > 1 and not cfg.data_parallel:
+        raise ValueError(
+            "--sp > 1 needs the device mesh; it cannot be combined with "
+            "--data_parallel false"
         )
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     return cfg

@@ -38,20 +38,32 @@ def initialize_distributed(
         )
 
 
-def hierarchical_dp_mesh(ici_size: int | None = None) -> Mesh:
-    """(dcn, ici) mesh over all global devices.
+def hierarchical_dp_mesh(ici_size: int | None = None, sp: int = 1) -> Mesh:
+    """(dcn, ici[, space]) mesh over all global devices.
 
     ``ici_size`` defaults to the local device count (devices per host /
-    slice); the dcn axis spans process groups.
+    slice); the dcn axis spans process groups. ``sp`` > 1 carves a trailing
+    'space' axis out of the ICI dimension (spatial partitioning of image
+    height — parallel/mesh.py): the halo exchanges stay on ICI within a
+    slice, only the batch/gradient reduction crosses DCN.
     """
+    from maxsquareloss_tpu.parallel.mesh import SPACE_AXIS
+
     devices = jax.devices()
     if ici_size is None:
         ici_size = jax.local_device_count()
     assert len(devices) % ici_size == 0, (
         f"{len(devices)} devices not divisible by ici_size={ici_size}"
     )
-    arr = np.asarray(devices).reshape(len(devices) // ici_size, ici_size)
-    return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+    if sp <= 1:
+        arr = np.asarray(devices).reshape(len(devices) // ici_size, ici_size)
+        return Mesh(arr, (DCN_AXIS, ICI_AXIS))
+    if ici_size % sp:
+        raise ValueError(f"--sp {sp} does not divide ici_size={ici_size}")
+    arr = np.asarray(devices).reshape(
+        len(devices) // ici_size, ici_size // sp, sp
+    )
+    return Mesh(arr, (DCN_AXIS, ICI_AXIS, SPACE_AXIS))
 
 
 def hierarchical_batch_sharding(mesh: Mesh) -> NamedSharding:

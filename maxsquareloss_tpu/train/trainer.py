@@ -98,9 +98,9 @@ class Trainer:
             # sharded over both axes, params replicated (SURVEY.md §5.8)
             from maxsquareloss_tpu.parallel.multihost import hierarchical_dp_mesh
 
-            self.mesh = hierarchical_dp_mesh()
+            self.mesh = hierarchical_dp_mesh(sp=cfg.sp)
         else:
-            self.mesh = data_parallel_mesh()
+            self.mesh = data_parallel_mesh(sp=cfg.sp)
         if self.mesh is not None:
             params = replicate_tree(self.mesh, params)
             frozen = replicate_tree(self.mesh, frozen)

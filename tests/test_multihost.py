@@ -57,6 +57,26 @@ def test_hierarchical_batch_sharding_partitions_batch_over_both_axes():
     assert all(s.data.shape == (1, 4) for s in x.addressable_shards)
 
 
+def test_hierarchical_mesh_with_spatial_axis():
+    """--sp on the multi-host mesh: the 'space' axis is carved out of ICI
+    (halo exchanges stay on-slice); batch shards over (dcn, ici), image
+    height over 'space'."""
+    from jax.sharding import PartitionSpec as P
+
+    import pytest
+
+    mesh = hierarchical_dp_mesh(ici_size=4, sp=2)
+    assert mesh.axis_names == ("dcn", "ici", "space")
+    assert dict(mesh.shape) == {"dcn": 2, "ici": 2, "space": 2}
+    spec = hierarchical_batch_sharding(mesh).spec
+    assert set(spec[0]) == {"dcn", "ici"} and spec[1] == "space"
+    x = jax.device_put(np.zeros((4, 6, 4), np.float32),
+                       hierarchical_batch_sharding(mesh))
+    assert all(s.data.shape == (1, 3, 4) for s in x.addressable_shards)
+    with pytest.raises(ValueError, match="does not divide"):
+        hierarchical_dp_mesh(ici_size=4, sp=3)
+
+
 def _make_tiny_dataset(base: str):
     """GTA5 + Cityscapes layout, 16 train / 8 val, 64x128 (as /verify uses)."""
     import os

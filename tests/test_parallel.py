@@ -89,6 +89,74 @@ def test_sharded_eval_step_cm_equals_single_device(rng):
     np.testing.assert_array_equal(np.asarray(arg8), np.asarray(arg1))
 
 
+def test_spatial_partitioned_eval_cm_equals_single_device(rng):
+    """SP (image-H sharded over the 'space' axis, GSPMD halo exchanges) must
+    leave the eval confusion matrix bit-exact: argmax'd predictions are
+    integers and H-splitting only regroups whole-number CM addends. This is
+    the batch-1/full-res scale-out path DP cannot cover (parallel/mesh.py)."""
+    from maxsquareloss_tpu.train.steps import make_eval_step
+
+    cfg = _cfg()
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    x = rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    y = rng.integers(-1, 19, (4, 128, 128)).astype(np.int32)
+
+    cm1, arg1 = make_eval_step(cfg, frozen)(params, jnp.asarray(x), jnp.asarray(y))
+
+    for sp in (4, 8):  # dp2 x sp4, and pure-spatial sp8 (batch-1-style)
+        mesh = data_parallel_mesh(sp=sp)
+        params_r = replicate_tree(mesh, params)
+        frozen_r = replicate_tree(mesh, frozen)
+        bs = batch_sharding(mesh)
+        cm_s, arg_s = make_eval_step(cfg, frozen_r)(
+            params_r, jax.device_put(x, bs), jax.device_put(y, bs)
+        )
+        np.testing.assert_array_equal(np.asarray(cm_s), np.asarray(cm1))
+        np.testing.assert_array_equal(np.asarray(arg_s), np.asarray(arg1))
+
+
+def test_spatial_partitioned_uda_step_equals_single_device(rng):
+    """dp2 x sp4 UDA train step == 1-device step: GSPMD's conv halo
+    exchanges + the spatially-reduced loss/grad psum reproduce the
+    single-device trajectory (measured max param delta ~7e-9)."""
+    cfg = _cfg(target_mode="IW_maxsquare")
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    xs = rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    ys = rng.integers(-1, 19, (4, 64, 64)).astype(np.int32)
+    xt = rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32)
+
+    mesh = data_parallel_mesh(sp=4)
+    frozen_r = replicate_tree(mesh, frozen)
+    params_r = replicate_tree(mesh, params)
+
+    step1 = make_uda_train_step(cfg, frozen)
+    s1 = make_train_state(jax.tree.map(jnp.array, params))
+    s1, m1 = step1(s1, jnp.asarray(xs), jnp.asarray(ys), jnp.asarray(xt))
+
+    step_s = make_uda_train_step(cfg, frozen_r)
+    s_s = replicate_tree(mesh, make_train_state(params_r))
+    bs = batch_sharding(mesh)
+    s_s, m_s = step_s(
+        s_s, jax.device_put(xs, bs), jax.device_put(ys, bs),
+        jax.device_put(xt, bs),
+    )
+    assert float(np.asarray(m1["loss"])) == pytest.approx(
+        float(np.asarray(m_s["loss"])), rel=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_sp_mesh_validation():
+    with pytest.raises(ValueError, match="does not divide"):
+        data_parallel_mesh(sp=3)  # 8 devices
+    mesh = data_parallel_mesh(sp=4)
+    assert mesh.axis_names == ("data", "space")
+    assert dict(mesh.shape) == {"data": 2, "space": 4}
+    spec = batch_sharding(mesh).spec
+    assert spec == jax.sharding.PartitionSpec(("data",), "space")
+
+
 def test_uda_dp_step_runs_sharded(rng):
     cfg = _cfg(target_mode="IW_maxsquare")
     params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))

@@ -45,7 +45,7 @@ def main(argv=None):
 
     params, frozen = load_inference_params(cfg)
 
-    mesh = data_parallel_mesh() if cfg.data_parallel else None
+    mesh = data_parallel_mesh(sp=cfg.sp) if cfg.data_parallel else None
     if mesh is not None:
         params = replicate_tree(mesh, params)
         frozen = replicate_tree(mesh, frozen)
