@@ -56,6 +56,20 @@ def test_defaults_match_reference():
     assert cfg.blocks == (3, 4, 23, 3)
 
 
+def test_sp_flag_validation(tmp_path):
+    import pytest
+
+    args = _parse(["--checkpoint_dir", str(tmp_path), "--sp", "4"])
+    assert config_from_args(args).sp == 4
+    with pytest.raises(ValueError, match="--sp must be >= 1"):
+        config_from_args(_parse(["--checkpoint_dir", str(tmp_path), "--sp", "0"]))
+    with pytest.raises(ValueError, match="needs the device mesh"):
+        config_from_args(_parse([
+            "--checkpoint_dir", str(tmp_path), "--sp", "2",
+            "--data_parallel", "false",
+        ]))
+
+
 def test_size_string_roundtrip(tmp_path):
     args = _parse(["--checkpoint_dir", str(tmp_path), "--target_base_size", "1024,512"])
     cfg = config_from_args(args)
