@@ -68,6 +68,37 @@ def test_predict_fn_matches_oracle_and_chunks(rng):
             np.testing.assert_array_equal(got, want)
 
 
+def test_predict_fn_spatial_partitioned_matches(rng):
+    """Batch-1 prediction with image-H sharded over the 'space' axis
+    (predict --sp): bit-identical argmax vs the single-device run — the
+    full-res serving scale-out path (parallel/mesh.py)."""
+    from maxsquareloss_tpu.parallel.mesh import (
+        batch_sharding,
+        data_parallel_mesh,
+        replicate_tree,
+    )
+    from tools.predict import make_predict_fn
+
+    cfg, params, frozen = _setup()
+    x = rng.standard_normal((1, 32, 64, 3), dtype=np.float32)
+    out_hw = (64, 128)
+    scales, flip = (0.75, 1.0), True
+    want = np.asarray(
+        jax.jit(make_predict_fn(cfg, frozen, scales, flip, out_hw))(
+            params, jnp.asarray(x)
+        )
+    )
+    mesh = data_parallel_mesh(jax.devices()[:4], sp=4)  # (1, 4): pure SP
+    params_r = replicate_tree(mesh, params)
+    frozen_r = replicate_tree(mesh, frozen)
+    got = np.asarray(
+        jax.jit(make_predict_fn(cfg, frozen_r, scales, flip, out_hw))(
+            params_r, jax.device_put(x, batch_sharding(mesh))
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+
 def test_predict_fn_full_res_auto_chunks(rng):
     """out_hw above the 512-row auto threshold streams (and stays exact)."""
     from tools.predict import make_predict_fn

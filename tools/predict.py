@@ -100,6 +100,21 @@ def main(argv=None):
 
     params, frozen = load_inference_params(cfg)
 
+    # Spatial partitioning (--sp N): predict runs batch-1, so DP has
+    # nothing to shard — instead shard the image HEIGHT over a (1, sp)
+    # mesh's 'space' axis (GSPMD conv halo exchanges; parallel/mesh.py).
+    # Bit-identical outputs, tested in tests/test_predict.py.
+    mesh = None
+    if cfg.sp > 1:
+        from maxsquareloss_tpu.parallel.mesh import (
+            data_parallel_mesh,
+            replicate_tree,
+        )
+
+        mesh = data_parallel_mesh(jax.devices()[: cfg.sp], sp=cfg.sp)
+        params = replicate_tree(mesh, params)
+        frozen = replicate_tree(mesh, frozen)
+
     paths = default_paths(args.data_root_path)[cfg.dataset]
     list_path = args.list_path or paths["val"]
     with open(list_path) as f:
@@ -119,7 +134,13 @@ def main(argv=None):
         out_hw = (out_wh[1], out_wh[0])
         if out_hw not in steps:
             steps[out_hw] = make_predict_step(cfg, frozen, scales, args.flip, out_hw)
-        pred = np.asarray(steps[out_hw](params, jnp.asarray(x)))[0]
+        if mesh is not None:
+            from maxsquareloss_tpu.parallel.mesh import batch_sharding
+
+            xa = jax.device_put(x, batch_sharding(mesh))
+        else:
+            xa = jnp.asarray(x)
+        pred = np.asarray(steps[out_hw](params, xa))[0]
 
         name = os.path.splitext(os.path.basename(rel))[0]
         ids = np.where(pred < 0, 255, pred).astype(np.uint8)
