@@ -245,11 +245,12 @@ class SegDataset:
         - mirror ∘ normalize == normalize ∘ mirror (both elementwise per
           pixel: BGR swap is channel-wise, the flip is width-wise), and
           mirror ∘ LUT-remap == LUT-remap ∘ mirror;
-        - when the per-sample blur gate FIRES, the image leg falls back to
-          the PIL chain in the general order (flip → blur → normalize) —
-          PIL's Gaussian kernel is not guaranteed flip-equivariant at the
-          bit level, so the fused reorder is only taken when no blur is
-          drawn. The label leg stays fused either way.
+        - when the per-sample blur gate FIRES, the image leg keeps the
+          general order (flip → blur → normalize; PIL's Gaussian kernel is
+          not guaranteed flip-equivariant at the bit level) but runs the
+          blur through the native byte-exact-vs-PIL kernel
+          (hostops.gaussian_blur, ~5.8x faster) — PIL only when the
+          extension predates it. The label leg stays fused either way.
 
         Returns (x, y) or None to take the general path.
         """
@@ -283,12 +284,19 @@ class SegDataset:
         with open(img_path, "rb") as f:
             raw = f.read()
         if blur_radius is not None:
-            img = Image.fromarray(hostops.decode_png(raw, True))
-            if flip:
-                img = img.transpose(Image.FLIP_LEFT_RIGHT)
-            from PIL import ImageFilter
+            if hostops.has_gaussian_blur():
+                x = hostops.decode_png(raw, True)
+                if flip:
+                    x = x[:, ::-1]
+                x = hostops.gaussian_blur(x, blur_radius)
+                img = Image.fromarray(x)
+            else:  # stale pre-round-4 extension: PIL chain, same bytes
+                img = Image.fromarray(hostops.decode_png(raw, True))
+                if flip:
+                    img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                from PIL import ImageFilter
 
-            img = img.filter(ImageFilter.GaussianBlur(radius=blur_radius))
+                img = img.filter(ImageFilter.GaussianBlur(radius=blur_radius))
             if cfg.device_normalize:
                 x = np.asarray(img, dtype=np.uint8)
             else:

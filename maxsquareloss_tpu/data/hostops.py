@@ -73,3 +73,28 @@ def decode_normalize_bgr(data: bytes, mean_bgr) -> np.ndarray:
     m = np.asarray(mean_bgr, dtype=np.float32)
     buf, h, w = ext.decode_normalize_bgr(data, float(m[0]), float(m[1]), float(m[2]))
     return np.frombuffer(buf, dtype=np.float32).reshape(h, w, 3)
+
+
+def has_gaussian_blur() -> bool:
+    """True when the loaded extension carries the round-4 blur op (a stale
+    pre-round-4 .so may not — fall back to PIL then)."""
+    ext = _load()
+    return bool(ext) and hasattr(ext, "gaussian_blur")
+
+
+def gaussian_blur(arr: np.ndarray, radius: float) -> np.ndarray:
+    """uint8 (H, W[, C]) → PIL-byte-exact GaussianBlur(radius).
+
+    Pillow's blur reverse-engineered to byte-exactness (native/hostops.cpp:
+    Gwosdek extended-box radius with Pillow's float32/double expression
+    mixing, 3 horizontal + 3 vertical fixed-point box passes, per-pass uint8
+    quantization) and rewritten with contiguous vectorizable passes:
+    ~5.8x faster than PIL at 1280x720 (9.2 vs 53.7 ms on this host).
+    Exactness pinned by tests/test_hostops.py::test_gaussian_blur_matches_pil.
+    """
+    ext = _load()
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    c = arr.shape[2] if arr.ndim == 3 else 1
+    out = ext.gaussian_blur(arr.tobytes(), h, w, c, float(radius))
+    return np.frombuffer(out, dtype=np.uint8).reshape(arr.shape)

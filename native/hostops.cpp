@@ -19,6 +19,7 @@
 
 #include <png.h>
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <string>
@@ -229,6 +230,165 @@ PyObject* py_decode_normalize_bgr(PyObject*, PyObject* args) {
                        static_cast<int>(img.w));
 }
 
+// ---------------------------------------------------------------------------
+// Gaussian blur, byte-exact vs PIL (reverse-engineered round 4).
+//
+// Pillow's ImageFilter.GaussianBlur is a sequence of extended box filters
+// (Gwosdek et al., SSVM 2011): sigma -> one fractional box radius R = l + a
+// applied 3x horizontally then 3x vertically, every pass quantizing to uint8
+// through 24.8-style fixed point. The float32/double mixing below mirrors
+// Pillow's C expressions exactly (float locals, double literals promote);
+// validated byte-identical against Pillow 12.1 on 300+ random
+// (sigma, image) draws and the training radius range (tests/test_hostops.py).
+
+float gaussian_box_radius(float radius, int passes) {
+  float sigma2 = radius * radius / passes;
+  float L = std::sqrt(12.0 * sigma2 + 1.0);        // double expr -> float
+  float l = std::floor((L - 1.0) / 2.0);           // double expr -> float
+  float a = (2 * l + 1) * (l * (l + 1) - 3 * sigma2);
+  a /= 6 * (sigma2 - (l + 1) * (l + 1));
+  return l + a;
+}
+
+inline uint8_t box_round(uint32_t acc) {
+  return static_cast<uint8_t>((acc + (1u << 23)) >> 24);
+}
+
+// One horizontal fixed-point box pass over the whole image. Edge columns
+// use replicate-clamped scalar code; the interior loop is branchless and
+// contiguous over the interleaved row (auto-vectorizes; d == 0 — the whole
+// training radius range, sigma < 1.17 — gets a dedicated 3-tap form).
+void blur_pass_h(const uint8_t* in, uint8_t* out, int h, int w, int c, int d,
+                 uint32_t ww, uint32_t fw) {
+  const int64_t row = static_cast<int64_t>(w) * c;
+  const int lo = d + 1, hi = w - d - 2;  // interior: all taps in-bounds
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* r = in + y * row;
+    uint8_t* o = out + y * row;
+    auto clamped = [&](int x) {
+      for (int ch = 0; ch < c; ++ch) {
+        uint32_t S = 0;
+        for (int k = -d; k <= d; ++k) {
+          int xx = x + k;
+          xx = xx < 0 ? 0 : (xx >= w ? w - 1 : xx);
+          S += r[xx * c + ch];
+        }
+        int xl = x - d - 1, xh = x + d + 1;
+        xl = xl < 0 ? 0 : xl;
+        xh = xh >= w ? w - 1 : xh;
+        uint32_t acc = ww * S +
+                       fw * (static_cast<uint32_t>(r[xl * c + ch]) +
+                             r[xh * c + ch]);
+        o[x * c + ch] = box_round(acc);
+      }
+    };
+    const int edge_lo = lo < w ? lo : w;
+    for (int x = 0; x < edge_lo; ++x) clamped(x);
+    for (int x = (hi + 1 > lo ? hi + 1 : lo); x < w; ++x) clamped(x);
+    if (hi >= lo) {
+      const int64_t i0 = static_cast<int64_t>(lo) * c;
+      const int64_t i1 = static_cast<int64_t>(hi + 1) * c;
+      if (d == 0) {
+        for (int64_t i = i0; i < i1; ++i) {
+          o[i] = box_round(ww * r[i] +
+                           fw * (static_cast<uint32_t>(r[i - c]) + r[i + c]));
+        }
+      } else {
+        const int64_t dc = static_cast<int64_t>(d) * c;
+        for (int64_t i = i0; i < i1; ++i) {
+          uint32_t S = 0;
+          for (int64_t k = i - dc; k <= i + dc; k += c) S += r[k];
+          o[i] = box_round(ww * S +
+                           fw * (static_cast<uint32_t>(r[i - dc - c]) +
+                                 r[i + dc + c]));
+        }
+      }
+    }
+  }
+}
+
+// One vertical pass: whole contiguous rows per output row (auto-vectorizes).
+void blur_pass_v(const uint8_t* in, uint8_t* out, int h, int w, int c, int d,
+                 uint32_t ww, uint32_t fw) {
+  const int64_t row = static_cast<int64_t>(w) * c;
+  std::vector<const uint8_t*> taps(2 * d + 1);
+  auto rp = [&](int y) {
+    y = y < 0 ? 0 : (y >= h ? h - 1 : y);
+    return in + static_cast<int64_t>(y) * row;
+  };
+  for (int y = 0; y < h; ++y) {
+    uint8_t* o = out + static_cast<int64_t>(y) * row;
+    const uint8_t* elo = rp(y - d - 1);
+    const uint8_t* ehi = rp(y + d + 1);
+    if (d == 0) {
+      const uint8_t* cur = rp(y);
+      for (int64_t i = 0; i < row; ++i) {
+        o[i] = box_round(ww * cur[i] +
+                         fw * (static_cast<uint32_t>(elo[i]) + ehi[i]));
+      }
+    } else {
+      for (int k = 0; k < 2 * d + 1; ++k) taps[k] = rp(y + k - d);
+      for (int64_t i = 0; i < row; ++i) {
+        uint32_t S = 0;
+        for (int k = 0; k < 2 * d + 1; ++k) S += taps[k][i];
+        o[i] = box_round(ww * S +
+                         fw * (static_cast<uint32_t>(elo[i]) + ehi[i]));
+      }
+    }
+  }
+}
+
+// Full blur: 3 horizontal passes then 3 vertical passes (Pillow's order),
+// every pass quantizing to uint8; ping-pong between data and tmp so the
+// result lands back in `data`.
+void gaussian_blur_u8(uint8_t* data, int h, int w, int c, float radius,
+                      int passes) {
+  float R = gaussian_box_radius(radius, passes);
+  int d = static_cast<int>(R);
+  uint32_t ww = static_cast<uint32_t>((1 << 24) / (R * 2 + 1));
+  uint32_t fw = ((1u << 24) - (d * 2 + 1) * ww) / 2;
+  std::vector<uint8_t> tmp(static_cast<size_t>(h) * w * c);
+  uint8_t* a = data;
+  uint8_t* b = tmp.data();
+  for (int p = 0; p < passes; ++p) {
+    blur_pass_h(a, b, h, w, c, d, ww, fw);
+    std::swap(a, b);
+  }
+  for (int p = 0; p < passes; ++p) {
+    blur_pass_v(a, b, h, w, c, d, ww, fw);
+    std::swap(a, b);
+  }
+  if (a != data) {
+    std::memcpy(data, a, tmp.size());
+  }
+}
+
+// gaussian_blur(data_u8, h, w, c, radius) -> blurred uint8 bytes.
+PyObject* py_gaussian_blur(PyObject*, PyObject* args) {
+  Py_buffer view;
+  int h, w, c;
+  float radius;
+  if (!PyArg_ParseTuple(args, "y*iiif", &view, &h, &w, &c, &radius)) {
+    return nullptr;
+  }
+  if (static_cast<int64_t>(h) * w * c != view.len || h < 1 || w < 1 ||
+      c < 1) {
+    PyBuffer_Release(&view);
+    PyErr_SetString(PyExc_ValueError, "buffer size != h*w*c");
+    return nullptr;
+  }
+  std::vector<uint8_t> buf(static_cast<const uint8_t*>(view.buf),
+                           static_cast<const uint8_t*>(view.buf) + view.len);
+  PyBuffer_Release(&view);
+  Py_BEGIN_ALLOW_THREADS;
+  if (radius != 0.0f) {  // PIL returns a copy untouched at radius 0
+    gaussian_blur_u8(buf.data(), h, w, c, radius, 3);
+  }
+  Py_END_ALLOW_THREADS;
+  return PyBytes_FromStringAndSize(reinterpret_cast<const char*>(buf.data()),
+                                   static_cast<Py_ssize_t>(buf.size()));
+}
+
 PyMethodDef kMethods[] = {
     {"decode_png", py_decode_png, METH_VARARGS,
      "decode_png(data, expand_rgb=True) -> (bytes, h, w, channels, bitdepth)"},
@@ -236,6 +396,9 @@ PyMethodDef kMethods[] = {
      "decode_remap(data, lut_i32_bytes) -> (int32 bytes, h, w)"},
     {"decode_normalize_bgr", py_decode_normalize_bgr, METH_VARARGS,
      "decode_normalize_bgr(data, b_mean, g_mean, r_mean) -> (f32 bytes, h, w)"},
+    {"gaussian_blur", py_gaussian_blur, METH_VARARGS,
+     "gaussian_blur(data_u8, h, w, c, radius) -> uint8 bytes "
+     "(byte-exact PIL GaussianBlur)"},
     {nullptr, nullptr, 0, nullptr},
 };
 

@@ -58,6 +58,47 @@ def test_bad_png_raises():
         hostops.decode_png(b"not a png at all")
 
 
+def test_gaussian_blur_matches_pil(rng):
+    """The native blur must be BYTE-exact vs Pillow's GaussianBlur across
+    the training radius range (rng.random() in [0,1) — transforms.py) and
+    beyond: Pillow's Gwosdek extended-box algorithm (radius formula with
+    float32/double expression mixing, 3H+3V fixed-point box passes with
+    per-pass uint8 quantization) reverse-engineered in native/hostops.cpp.
+    Any Pillow upgrade that changes blur semantics fails here first."""
+    from PIL import ImageFilter
+
+    assert hostops.has_gaussian_blur()
+    for trial in range(60):
+        s = float(rng.uniform(0.0, 1.0 if trial % 2 else 3.0))
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        want = np.asarray(
+            Image.fromarray(img).filter(ImageFilter.GaussianBlur(radius=s))
+        )
+        np.testing.assert_array_equal(
+            hostops.gaussian_blur(img, s), want,
+            err_msg=f"sigma={s} hw=({h},{w})",
+        )
+    # gray (single-channel) images and the radius-0 identity
+    g = rng.integers(0, 256, (21, 33)).astype(np.uint8)
+    want = np.asarray(Image.fromarray(g).filter(ImageFilter.GaussianBlur(0.6)))
+    np.testing.assert_array_equal(hostops.gaussian_blur(g, 0.6), want)
+    np.testing.assert_array_equal(hostops.gaussian_blur(g, 0.0), g)
+
+
+def test_transform_blur_uses_native_and_matches_pil(rng):
+    """train_sync_transform's blur (via _gaussian_blur) == the PIL filter
+    bit-for-bit, so the general path is invariant to the native swap."""
+    from PIL import ImageFilter
+
+    from maxsquareloss_tpu.data.transforms import _gaussian_blur
+
+    img = Image.fromarray(rng.integers(0, 256, (16, 24, 3)).astype(np.uint8))
+    for r in (0.123, 0.77, 0.999):
+        want = np.asarray(img.filter(ImageFilter.GaussianBlur(radius=r)))
+        np.testing.assert_array_equal(np.asarray(_gaussian_blur(img, r)), want)
+
+
 def test_fused_val_fast_path_matches_general(tmp_path, rng):
     """When the val PNGs are already at base_size, get() takes the fully
     fused decode+normalize / decode+remap path — must equal the general
