@@ -101,8 +101,10 @@ class TrainConfig:
     # spatial partitioning: shard the image HEIGHT dim over a 'space' mesh
     # axis of this size (GSPMD inserts the conv halo exchanges over ICI).
     # The scale-out path for batch-1 / full-res eval+inference where the
-    # batch axis has nothing left to shard; 1 = off (pure DP). Device count
-    # must be divisible by sp. Exactness: parallel/mesh.py docstring.
+    # batch axis has nothing left to shard; 1 = off. With data_parallel the
+    # mesh is (devices/sp, sp); with --data_parallel false it is a pure-SP
+    # (1, sp) mesh over sp devices. Device count must be divisible by sp,
+    # and sharded image heights by sp. Exactness: parallel/mesh.py.
     sp: int = 1
     # stream the eval upsample->softmax->argmax->CM tail over N output rows
     # at a time. EXACT (row-local interpolation, sliced H-matmul); keeps the
@@ -279,10 +281,17 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         )
     if cfg.sp < 1:
         raise ValueError(f"--sp must be >= 1, got {cfg.sp}")
-    if cfg.sp > 1 and not cfg.data_parallel:
-        raise ValueError(
-            "--sp > 1 needs the device mesh; it cannot be combined with "
-            "--data_parallel false"
-        )
+    if cfg.sp > 1:
+        # fail fast with a clear message instead of a mid-run JAX sharding
+        # error: every height that gets device_put under the 'space' axis
+        # must split evenly (full-res label heights are checked by JAX at
+        # device_put time — they are not knowable here)
+        for name in ("crop_size", "target_crop_size", "base_size"):
+            wh = getattr(cfg, name)
+            if wh and wh[1] % cfg.sp:
+                raise ValueError(
+                    f"--sp {cfg.sp} must divide the image height: "
+                    f"{name} H = {wh[1]}"
+                )
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     return cfg

@@ -288,8 +288,7 @@ class SegDataset:
                 x = hostops.decode_png(raw, True)
                 if flip:
                     x = x[:, ::-1]
-                x = hostops.gaussian_blur(x, blur_radius)
-                img = Image.fromarray(x)
+                x = hostops.gaussian_blur(x, blur_radius)  # uint8, PIL-exact
             else:  # stale pre-round-4 extension: PIL chain, same bytes
                 img = Image.fromarray(hostops.decode_png(raw, True))
                 if flip:
@@ -297,10 +296,9 @@ class SegDataset:
                 from PIL import ImageFilter
 
                 img = img.filter(ImageFilter.GaussianBlur(radius=blur_radius))
-            if cfg.device_normalize:
                 x = np.asarray(img, dtype=np.uint8)
-            else:
-                x = img_transform(img, cfg.numpy_transform)
+            if not cfg.device_normalize:
+                x = img_transform(x, cfg.numpy_transform)
         else:
             if cfg.device_normalize:
                 x = hostops.decode_png(raw, True)  # raw uint8 RGB

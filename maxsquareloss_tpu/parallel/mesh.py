@@ -54,6 +54,23 @@ def data_parallel_mesh(devices=None, sp: int = 1) -> Mesh:
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
 
+def make_mesh(data_parallel: bool = True, sp: int = 1) -> Mesh | None:
+    """Mesh (or None) from the CLI parallelism flags.
+
+    - data_parallel: DP over ALL local devices, optionally with a trailing
+      'space' axis of size sp (dp x sp).
+    - no data_parallel but sp > 1: PURE spatial partitioning over the first
+      sp devices — a (1, sp) mesh. The batch-1 serving case
+      (tools/predict.py --sp) and small-batch full-res eval.
+    - neither: None (single device).
+    """
+    if data_parallel:
+        return data_parallel_mesh(sp=sp)
+    if sp > 1:
+        return data_parallel_mesh(jax.devices()[:sp], sp=sp)
+    return None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (N, H, ...) image/label batches on this mesh.
 

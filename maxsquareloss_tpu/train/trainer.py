@@ -28,7 +28,6 @@ from maxsquareloss_tpu.metrics import Eval
 from maxsquareloss_tpu.models.deeplabv2 import DeepLabV2Config, init_deeplabv2
 from maxsquareloss_tpu.parallel.mesh import (
     batch_sharding,
-    data_parallel_mesh,
     replicate_tree,
 )
 from maxsquareloss_tpu.train import checkpoint as ckpt_lib
@@ -91,16 +90,18 @@ class Trainer:
             params, frozen = init_deeplabv2(
                 jax.random.key(cfg.seed), model_config(cfg)
             )
-        if not cfg.data_parallel:
-            self.mesh = None
-        elif jax.process_count() > 1:
+        if cfg.data_parallel and jax.process_count() > 1:
             # multi-host: (dcn, ici) mesh over ALL global devices; batches
             # sharded over both axes, params replicated (SURVEY.md §5.8)
             from maxsquareloss_tpu.parallel.multihost import hierarchical_dp_mesh
 
             self.mesh = hierarchical_dp_mesh(sp=cfg.sp)
         else:
-            self.mesh = data_parallel_mesh(sp=cfg.sp)
+            # DP (+sp) over local devices, pure-SP (1, sp) when
+            # --data_parallel false, or None (single device)
+            from maxsquareloss_tpu.parallel.mesh import make_mesh
+
+            self.mesh = make_mesh(cfg.data_parallel, cfg.sp)
         if self.mesh is not None:
             params = replicate_tree(self.mesh, params)
             frozen = replicate_tree(self.mesh, frozen)

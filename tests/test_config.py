@@ -61,12 +61,20 @@ def test_sp_flag_validation(tmp_path):
 
     args = _parse(["--checkpoint_dir", str(tmp_path), "--sp", "4"])
     assert config_from_args(args).sp == 4
+    # pure SP: --sp with --data_parallel false is the batch-1 serving combo
+    cfg = config_from_args(_parse([
+        "--checkpoint_dir", str(tmp_path), "--sp", "2",
+        "--data_parallel", "false",
+    ]))
+    assert cfg.sp == 2 and not cfg.data_parallel
     with pytest.raises(ValueError, match="--sp must be >= 1"):
         config_from_args(_parse(["--checkpoint_dir", str(tmp_path), "--sp", "0"]))
-    with pytest.raises(ValueError, match="needs the device mesh"):
+    # heights sharded under the 'space' axis must split evenly — fail at
+    # parse time, not mid-run inside jax.device_put
+    with pytest.raises(ValueError, match="must divide the image height"):
         config_from_args(_parse([
-            "--checkpoint_dir", str(tmp_path), "--sp", "2",
-            "--data_parallel", "false",
+            "--checkpoint_dir", str(tmp_path), "--sp", "8",
+            "--crop_size", "1280,644",
         ]))
 
 

@@ -148,6 +148,8 @@ def test_spatial_partitioned_uda_step_equals_single_device(rng):
 
 
 def test_sp_mesh_validation():
+    from maxsquareloss_tpu.parallel.mesh import make_mesh
+
     with pytest.raises(ValueError, match="does not divide"):
         data_parallel_mesh(sp=3)  # 8 devices
     mesh = data_parallel_mesh(sp=4)
@@ -155,6 +157,11 @@ def test_sp_mesh_validation():
     assert dict(mesh.shape) == {"data": 2, "space": 4}
     spec = batch_sharding(mesh).spec
     assert spec == jax.sharding.PartitionSpec(("data",), "space")
+    # make_mesh: the CLI-flag resolution (trainer / evaluate / predict)
+    assert make_mesh(True, 1).axis_names == ("data",)
+    assert dict(make_mesh(True, 2).shape) == {"data": 4, "space": 2}
+    assert dict(make_mesh(False, 4).shape) == {"data": 1, "space": 4}
+    assert make_mesh(False, 1) is None
 
 
 def test_uda_dp_step_runs_sharded(rng):

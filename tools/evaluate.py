@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 from maxsquareloss_tpu.config import add_train_args, config_from_args, str2bool
-from maxsquareloss_tpu.parallel.mesh import data_parallel_mesh, replicate_tree
+from maxsquareloss_tpu.parallel.mesh import make_mesh, replicate_tree
 from maxsquareloss_tpu.train.evaluator import evaluate
 from maxsquareloss_tpu.utils.logging import setup_logger
 from tools.common import default_paths, make_loader, maybe_init_distributed
@@ -45,7 +45,7 @@ def main(argv=None):
 
     params, frozen = load_inference_params(cfg)
 
-    mesh = data_parallel_mesh(sp=cfg.sp) if cfg.data_parallel else None
+    mesh = make_mesh(cfg.data_parallel, cfg.sp)
     if mesh is not None:
         params = replicate_tree(mesh, params)
         frozen = replicate_tree(mesh, frozen)

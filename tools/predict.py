@@ -101,17 +101,21 @@ def main(argv=None):
     params, frozen = load_inference_params(cfg)
 
     # Spatial partitioning (--sp N): predict runs batch-1, so DP has
-    # nothing to shard — instead shard the image HEIGHT over a (1, sp)
-    # mesh's 'space' axis (GSPMD conv halo exchanges; parallel/mesh.py).
-    # Bit-identical outputs, tested in tests/test_predict.py.
+    # nothing to shard — instead shard the image HEIGHT over a pure-SP
+    # (1, sp) mesh's 'space' axis (GSPMD conv halo exchanges;
+    # parallel/mesh.py), regardless of --data_parallel. Bit-identical
+    # outputs, tested in tests/test_predict.py. base_size height must
+    # divide by sp (validated below).
     mesh = None
     if cfg.sp > 1:
-        from maxsquareloss_tpu.parallel.mesh import (
-            data_parallel_mesh,
-            replicate_tree,
-        )
+        from maxsquareloss_tpu.parallel.mesh import make_mesh, replicate_tree
 
-        mesh = data_parallel_mesh(jax.devices()[: cfg.sp], sp=cfg.sp)
+        if cfg.base_size[1] % cfg.sp:
+            parser.error(
+                f"--sp {cfg.sp} must divide the image height "
+                f"(base_size H = {cfg.base_size[1]})"
+            )
+        mesh = make_mesh(data_parallel=False, sp=cfg.sp)
         params = replicate_tree(mesh, params)
         frozen = replicate_tree(mesh, frozen)
 
