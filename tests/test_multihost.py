@@ -124,6 +124,19 @@ def test_two_process_cli_training(tmp_path):
     """REAL 2-process jax.distributed run through the actual CLI (VERDICT r1
     #5): two subprocesses, 4 virtual CPU devices each, (dcn=2, ici=4) mesh,
     global batch 8 → 4 per process, 2 UDA steps + validation + checkpoint."""
+    _run_two_process_cli(tmp_path, [])
+
+
+@pytest.mark.slow
+def test_two_process_cli_training_with_sp(tmp_path):
+    """Multi-host + spatial partitioning composed through the real CLI:
+    2 processes x 4 virtual devices with --sp 2 → a (dcn=2, ici=2, space=2)
+    mesh — batch sharded over (dcn, ici), image height over 'space', GSPMD
+    halo exchanges riding the (virtual) intra-slice axis."""
+    _run_two_process_cli(tmp_path, ["--sp", "2"])
+
+
+def _run_two_process_cli(tmp_path, extra_args):
     import os
     import socket
     import subprocess
@@ -159,6 +172,7 @@ def test_two_process_cli_training(tmp_path):
                     "--batch_size", "8", "--iter_max", "100", "--iter_stop", "2",
                     "--epoch_num", "1", "--num_workers", "1",
                     "--gaussian_blur", "false",
+                    *extra_args,
                 ],
                 env=env,
                 cwd=repo,
