@@ -79,3 +79,41 @@ def test_export_selftest_cli(tmp_path, small_ckpt):
           "--blocks", "1,1,2,1", "--compute_dtype", "float32",
           "--platforms", "cpu", "--scales", "0.75,1.0", "--flip", "true"])
     main(["--load", out, "--selftest", "--pretrained_ckpt_file", small_ckpt])
+
+
+def test_export_spatial_partitioned_artifact(tmp_path, small_ckpt, rng):
+    """--sp 4: the artifact carries the GSPMD (1, 4) 'space' partitioning
+    (image height split across 4 devices, halo exchanges baked in) and is
+    bit-equal to the single-device live graph — the multi-chip batch-1
+    serving contract. The --load --selftest flow shards inputs per the
+    sidecar's sp field."""
+    from jax import export as jax_export
+
+    from maxsquareloss_tpu.parallel.mesh import batch_sharding, make_mesh
+    from tools.export_inference import main
+
+    out = str(tmp_path / "msp")
+    main(["--pretrained_ckpt_file", small_ckpt, "--output", out,
+          "--hw", "32,64", "--batch_size", "1", "--blocks", "1,1,2,1",
+          "--compute_dtype", "float32", "--platforms", "cpu", "--sp", "4"])
+    meta = json.load(open(out + ".json"))
+    assert meta["sp"] == 4 and "4 devices" in meta["consume"]
+
+    with open(out + ".stablehlo", "rb") as f:
+        art = jax_export.deserialize(f.read())
+    assert art.nr_devices == 4
+    mesh = make_mesh(data_parallel=False, sp=4)
+    x = rng.integers(0, 256, size=(1, 32, 64, 3)).astype(np.uint8)
+    got = np.asarray(art.call(jax.device_put(x, batch_sharding(mesh))))
+
+    from maxsquareloss_tpu.config import TrainConfig as TC
+    from tools.export_inference import load_params, make_serving_fn
+
+    cfg = TC(blocks=SMALL, compute_dtype="float32", device_normalize=True,
+             pretrained_ckpt_file=small_ckpt, data_parallel=False)
+    params, frozen = load_params(cfg)
+    serve = make_serving_fn(cfg, params, frozen, (1.0,), False, (32, 64))
+    np.testing.assert_array_equal(got, np.asarray(jax.jit(serve)(x)))
+
+    # the CLI selftest flow handles the sharded artifact end to end
+    main(["--load", out, "--selftest", "--pretrained_ckpt_file", small_ckpt])

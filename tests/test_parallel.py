@@ -115,6 +115,32 @@ def test_spatial_partitioned_eval_cm_equals_single_device(rng):
         np.testing.assert_array_equal(np.asarray(arg_s), np.asarray(arg1))
 
 
+def test_spatial_partitioned_chunked_eval_matches(rng):
+    """The row-chunked eval tail (eval_h_chunk, full-res protocol default)
+    composed with SP: slicing output rows of an H-sharded computation must
+    still give the exact single-device CM — the chunk boundaries and the
+    shard boundaries need not align (chunk 24 rows x 4-way-sharded 128)."""
+    from maxsquareloss_tpu.train.steps import make_eval_step
+
+    cfg1 = _cfg(eval_h_chunk=0)
+    cfg = _cfg(eval_h_chunk=24)  # deliberately not a divisor of H=128
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    x = rng.normal(0, 1, (4, 64, 64, 3)).astype(np.float32)
+    y = rng.integers(-1, 19, (4, 128, 128)).astype(np.int32)
+
+    cm1, arg1 = make_eval_step(cfg1, frozen)(params, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = data_parallel_mesh(sp=4)
+    params_r = replicate_tree(mesh, params)
+    frozen_r = replicate_tree(mesh, frozen)
+    bs = batch_sharding(mesh)
+    cm_s, arg_s = make_eval_step(cfg, frozen_r)(
+        params_r, jax.device_put(x, bs), jax.device_put(y, bs)
+    )
+    np.testing.assert_array_equal(np.asarray(cm_s), np.asarray(cm1))
+    np.testing.assert_array_equal(np.asarray(arg_s), np.asarray(arg1))
+
+
 def test_spatial_partitioned_uda_step_equals_single_device(rng):
     """dp2 x sp4 UDA train step == 1-device step: GSPMD's conv halo
     exchanges + the spatially-reduced loss/grad psum reproduce the

@@ -100,6 +100,13 @@ def main(argv=None):
     p.add_argument("--flip", type=str2bool, default=False)
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma list of target platforms for the artifact")
+    p.add_argument("--sp", type=int, default=1,
+                   help="spatial partitioning: export the graph sharded over "
+                        "a (1, sp) 'space' mesh (image height split across "
+                        "sp devices, GSPMD halo exchanges baked into the "
+                        "artifact). Serve batch-1 full-res requests on an "
+                        "sp-chip slice; the consumer must device_put inputs "
+                        "with the matching sharding (see sidecar). 1 = off")
     args = p.parse_args(argv)
 
     h, w = (int(v) for v in args.hw.split(","))
@@ -150,19 +157,53 @@ def main(argv=None):
             x = rng.integers(0, 256, size=tuple(meta["input_shape"])).astype(
                 np.uint8
             )
-            got = np.asarray(art.call(x))
+            sp = int(meta.get("sp", 1))
+            if sp > 1:
+                # sharded artifact: inputs must live on an sp-device
+                # (1, sp) mesh; the live reference graph stays 1-device
+                from maxsquareloss_tpu.parallel.mesh import (
+                    batch_sharding,
+                    make_mesh,
+                )
+
+                mesh = make_mesh(data_parallel=False, sp=sp)
+                got = np.asarray(
+                    art.call(jax.device_put(x, batch_sharding(mesh)))
+                )
+            else:
+                got = np.asarray(art.call(x))
             want = np.asarray(jax.jit(serve)(x))
             np.testing.assert_array_equal(got, want)
             print(f"selftest OK: artifact == live graph on "
-                  f"{meta['input_shape']} (exact)")
+                  f"{meta['input_shape']}" + (f" (sp={sp})" if sp > 1 else "")
+                  + " (exact)")
         return
 
     if not (args.pretrained_ckpt_file and args.output):
         p.error("--pretrained_ckpt_file and --output are required for export")
     params, frozen = load_params(cfg)
     serve = make_serving_fn(cfg, params, frozen, scales, args.flip, (oh, ow))
+    if args.sp > 1:
+        # sharded serving artifact: jit over a (1, sp) pure-SP mesh so the
+        # exported StableHLO carries the GSPMD partitioning + halo
+        # exchanges; callers run it on any sp-device slice (bit-equal to
+        # the single-device graph — tests/test_export_inference.py)
+        if h % args.sp:
+            p.error(f"--sp {args.sp} must divide the input height {h}")
+        from maxsquareloss_tpu.parallel.mesh import batch_sharding, make_mesh
+
+        mesh = make_mesh(data_parallel=False, sp=args.sp)
+        jit_serve = jax.jit(
+            serve,
+            in_shardings=batch_sharding(mesh),
+            out_shardings=jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()
+            ),
+        )
+    else:
+        jit_serve = jax.jit(serve)
     exp = jax_export.export(
-        jax.jit(serve),
+        jit_serve,
         platforms=tuple(s.strip() for s in args.platforms.split(",")),
     )(in_spec)
     blob = exp.serialize()
@@ -183,7 +224,14 @@ def main(argv=None):
         "scales": list(scales),
         "flip": args.flip,
         "platforms": list(exp.platforms),
-        "consume": "jax.export.deserialize(blob).call(uint8_batch)",
+        "sp": args.sp,
+        "consume": (
+            "jax.export.deserialize(blob).call(uint8_batch)" if args.sp <= 1
+            else f"needs {args.sp} devices: mesh=Mesh(devices[:{args.sp}]"
+                 f".reshape(1,{args.sp}), ('data','space')); "
+                 "fn.call(device_put(uint8_batch, "
+                 "NamedSharding(mesh, P(('data',), 'space'))))"
+        ),
     }
     with open(args.output + ".json", "w") as f:
         json.dump(meta, f, indent=1)
