@@ -290,9 +290,22 @@ def run_e2e(args) -> dict:
                   num_workers=args.num_workers)
     prep_rates, _, _ = timed_leg(prep_root, None, 200)
 
+    # raw-format prepared root (--format raw): .npy pixel sidecars, no PNG
+    # decode at all — the fastest host path (late round 4)
+    raw_root = root.rstrip("/") + "_prepared_raw"
+    prepare_split("gta5", f"{root}/GTA5", f"{root}/GTA5/train.txt",
+                  f"{raw_root}/GTA5", tuple(cfg.base_size), "train",
+                  num_workers=args.num_workers, fmt="raw")
+    prepare_split("cityscapes", f"{root}/Cityscapes",
+                  f"{root}/Cityscapes/train.txt", f"{raw_root}/Cityscapes",
+                  tuple(cfg.target_base_size), "train",
+                  num_workers=args.num_workers, fmt="raw")
+    raw_rates, _, _ = timed_leg(raw_root, None, 300)
+
     cold_rate = float(np.median(cold_rates))
     warm_rate = float(np.median(warm_rates))
     prep_rate = float(np.median(prep_rates))
+    raw_rate = float(np.median(raw_rates))
 
     # --- host->device transfer attribution (the tunnel is this box's
     # bottleneck; a real TPU host has local PCIe)
@@ -330,10 +343,12 @@ def run_e2e(args) -> dict:
             "e2e_cold_imgs_per_sec": round(cold_rate / n_chips, 3),
             "e2e_warm_imgs_per_sec": round(warm_rate / n_chips, 3),
             "e2e_prepared_imgs_per_sec": round(prep_rate / n_chips, 3),
+            "e2e_prepared_raw_imgs_per_sec": round(raw_rate / n_chips, 3),
             "timed_epochs_each": epochs,
             "e2e_cold_epoch_rates": [round(r / n_chips, 3) for r in cold_rates],
             "e2e_warm_epoch_rates": [round(r / n_chips, 3) for r in warm_rates],
             "e2e_prepared_epoch_rates": [round(r / n_chips, 3) for r in prep_rates],
+            "e2e_prepared_raw_epoch_rates": [round(r / n_chips, 3) for r in raw_rates],
             "device_only_imgs_per_sec": round(dev_rate / n_chips, 3),
             "host_device_ratio_warm": round(warm_rate / dev_rate, 3),
             "h2d_MB_per_sec": round(h2d_mbps, 1),

@@ -101,6 +101,15 @@ def run(args) -> dict:
     with mock.patch.object(hostops, "available", return_value=False):
         out["prepared_general_ms"] = leg(ds_prep)
 
+    # raw-format prepared root (--format raw): no PNG decode at all
+    praw = os.path.join(args.data_root + "_prepared_raw", "GTA5")
+    prepare_split("gta5", src, f"{src}/train.txt", praw, (w, h), "train",
+                  num_workers=args.num_workers, fmt="raw")
+    ds_raw = GTA5Dataset(praw, f"{praw}/train.txt", split="train", transform_cfg=cfg)
+    ipr, lpr = ds_raw._pair_paths(ds_raw.items[0])
+    assert ds_raw._fused_train_sample(ipr, lpr, np.random.default_rng(0)) is not None
+    out["prepared_raw_ms"] = leg(ds_raw)
+
     # the r3 target: fused-train cost ~= fused-val cost on the same files
     ds_val = GTA5Dataset(prep, f"{prep}/train.txt", split="val", transform_cfg=cfg)
     out["prepared_val_fused_ms"] = leg(ds_val)

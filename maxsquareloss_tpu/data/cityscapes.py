@@ -59,6 +59,25 @@ def _png_size(path: str) -> tuple[int, int] | None:
     return None
 
 
+def _raw_path(path: str) -> str:
+    """Raw-format sidecar for a dataset file: ``<path>.npy`` holding the
+    decoded pixels (uint8 HWC image / uint8-or-uint16 raw label ids) at
+    base_size. Written by ``tools/prepare_dataset.py --format raw``; skips
+    libpng inflate entirely — the dominant remaining per-sample host cost
+    on prepared data (BASELINE.md "Host data pipeline")."""
+    return path + ".npy"
+
+
+def _raw_meta(path: str):
+    """(shape, dtype) from an .npy header without reading the data
+    (mmap open touches only the header page); (None, None) if absent."""
+    try:
+        a = np.load(path, mmap_mode="r")
+        return a.shape, a.dtype
+    except (OSError, ValueError):
+        return None, None
+
+
 def _subset_filter_lut(keep: Sequence[int], relabel: bool) -> np.ndarray:
     """LUT over trainIds (+1 shifted for the -1 ignore slot).
 
@@ -142,6 +161,8 @@ class SegDataset:
     def _load_image(self, path: str) -> Image.Image:
         from maxsquareloss_tpu.data import hostops
 
+        if os.path.exists(_raw_path(path)):  # raw-prepared root: no decode
+            return Image.fromarray(np.load(_raw_path(path)))
         if path.endswith(".png") and hostops.available():
             with open(path, "rb") as f:
                 return Image.fromarray(hostops.decode_png(f.read(), True))
@@ -156,6 +177,11 @@ class SegDataset:
         where no resize follows — see _fused_val_sample."""
         from maxsquareloss_tpu.data import hostops
 
+        if os.path.exists(_raw_path(path)):  # raw-prepared root: no decode
+            arr = np.load(_raw_path(path))
+            if arr.dtype != np.uint8:
+                return Image.fromarray(arr.astype(np.int32), mode="I")
+            return Image.fromarray(arr)
         if path.endswith(".png") and hostops.available():
             with open(path, "rb") as f:
                 arr = hostops.decode_png(f.read(), False)
@@ -199,21 +225,44 @@ class SegDataset:
         os.replace(tmp, path)
         return img, mask
 
-    def _fused_val_sample(self, img_path: str, lab_path: str):
-        """Exact fully-fused val fast path (native/hostops.cpp).
+    def _load_raw_pair(self, img_path: str, lab_path: str):
+        """(uint8 HWC image, raw label ids) from raw-prepared ``.npy``
+        sidecars at exactly base_size (header-only shape check), or None.
+        No libpng, no C++ needed — the pixels ARE the bytes on disk."""
+        ri, rl = _raw_path(img_path), _raw_path(lab_path)
+        w, h = self.cfg.base_size
+        ishape, idt = _raw_meta(ri)
+        lshape, _ = _raw_meta(rl)
+        if ishape != (h, w, 3) or idt != np.uint8 or lshape != (h, w):
+            return None
+        return np.load(ri), np.load(rl)
 
-        When the PNGs are already at base_size (checked via an IHDR header
-        peek — no decode), the val transform is the identity, so the sample
-        is exactly decode+normalize (image) and decode+remap (label), each
-        one fused C++ pass. Returns (x, y) or None to take the general path.
+    def _fused_val_sample(self, img_path: str, lab_path: str):
+        """Exact fully-fused val fast path.
+
+        Raw-prepared roots (``prepare_dataset.py --format raw``): the
+        sample is a 2.7 MB ``np.load`` + the exact shared normalize/remap
+        functions — no decode at all. Otherwise, when the PNGs are already
+        at base_size (checked via an IHDR header peek — no decode), the
+        val transform is the identity, so the sample is exactly
+        decode+normalize (image) and decode+remap (label), each one fused
+        C++ pass. Returns (x, y) or None to take the general path.
         """
         from maxsquareloss_tpu.data import hostops
         from maxsquareloss_tpu.data.palette import IMG_MEAN
 
+        if self.training or self.full_res_labels:
+            return None
+        pair = self._load_raw_pair(img_path, lab_path)
+        if pair is not None:
+            x_u8, ids = pair
+            x = (
+                x_u8 if self.cfg.device_normalize
+                else img_transform(x_u8, self.cfg.numpy_transform)
+            )
+            return x, mask_transform(ids, self.lut)
         if (
-            self.training
-            or self.full_res_labels
-            or not self.cfg.numpy_transform
+            not self.cfg.numpy_transform
             or not hostops.available()
             or not img_path.endswith(".png")
             or not lab_path.endswith(".png")
@@ -258,23 +307,51 @@ class SegDataset:
         from maxsquareloss_tpu.data.palette import IMG_MEAN
 
         cfg = self.cfg
-        if (
-            not self.training
-            or cfg.random_crop
-            or not (cfg.numpy_transform or cfg.device_normalize)
+        if not self.training or cfg.random_crop:
+            return None
+        raw_pair = self._load_raw_pair(img_path, lab_path)
+        if raw_pair is None and (
+            not (cfg.numpy_transform or cfg.device_normalize)
             or not hostops.available()
             or not img_path.endswith(".png")
             or not lab_path.endswith(".png")
         ):
             return None
         size = tuple(cfg.base_size)
-        if _png_size(img_path) != size or _png_size(lab_path) != size:
+        if raw_pair is None and (
+            _png_size(img_path) != size or _png_size(lab_path) != size
+        ):
             return None
 
         flip = bool(cfg.random_mirror and rng.random() < 0.5)
         blur_radius = None
         if cfg.gaussian_blur and rng.random() < cfg.blur_prob:
             blur_radius = float(rng.random())
+
+        if raw_pair is not None:
+            # raw-prepared route: no decode at all; general-path op order
+            # (flip → blur → normalize) on the stored pixels via the exact
+            # shared transform functions — bitwise identical streams
+            # (tests/test_hostops.py raw-prepare tests)
+            x_u8, ids = raw_pair
+            y = mask_transform(ids, self.lut)
+            if flip:
+                y = np.ascontiguousarray(y[:, ::-1])
+                x_u8 = x_u8[:, ::-1]
+            if blur_radius is not None:
+                if hostops.has_gaussian_blur():
+                    x_u8 = hostops.gaussian_blur(x_u8, blur_radius)
+                else:  # PIL fallback is byte-identical (test-pinned)
+                    from PIL import ImageFilter
+
+                    x_u8 = np.asarray(
+                        Image.fromarray(np.ascontiguousarray(x_u8)).filter(
+                            ImageFilter.GaussianBlur(radius=blur_radius)
+                        )
+                    )
+            if cfg.device_normalize:
+                return np.ascontiguousarray(x_u8), y
+            return img_transform(x_u8, cfg.numpy_transform), y
 
         with open(lab_path, "rb") as f:
             y = hostops.decode_remap(f.read(), self.lut)

@@ -275,6 +275,78 @@ def test_prepare_dataset_bit_identical_and_fused(tmp_path, rng):
     assert Image.open(out / "images" / "00000.png").size == (16, 8)
 
 
+def test_prepare_dataset_raw_format(tmp_path, rng):
+    """--format raw stores decoded pixels as .npy sidecars: the loader
+    skips PNG decode entirely (the dominant remaining prepared-path cost)
+    and must produce BITWISE the same train/val streams as a PNG-prepared
+    root across mirror/blur draws and both normalize modes — including
+    with the native extension unavailable (raw needs no C++; the PIL blur
+    fallback is byte-identical to the native kernel)."""
+    import sys
+    from unittest import mock
+
+    sys.path.insert(0, ".")
+    from tools.prepare_dataset import prepare_split
+
+    from maxsquareloss_tpu.data import GTA5Dataset, TransformConfig
+    from maxsquareloss_tpu.data.cityscapes import CITYSCAPES_ID_TO_TRAINID
+
+    src = tmp_path / "orig" / "GTA5"
+    (src / "images").mkdir(parents=True)
+    (src / "labels").mkdir(parents=True)
+    for i in range(2):
+        img = rng.integers(0, 255, (40, 64, 3)).astype(np.uint8)
+        lab = rng.choice(list(CITYSCAPES_ID_TO_TRAINID), size=(40, 64)).astype(np.uint8)
+        Image.fromarray(img).save(src / "images" / f"{i:05d}.png")
+        Image.fromarray(lab).save(src / "labels" / f"{i:05d}.png")
+    (src / "train.txt").write_text("00000.png\n00001.png")
+
+    base = (32, 16)
+    png_out = tmp_path / "png" / "GTA5"
+    raw_out = tmp_path / "raw" / "GTA5"
+    prepare_split("gta5", str(src), str(src / "train.txt"), str(png_out),
+                  base, "train", num_workers=2)
+    prepare_split("gta5", str(src), str(src / "train.txt"), str(raw_out),
+                  base, "train", num_workers=2, fmt="raw")
+    assert (raw_out / "images" / "00000.png.npy").exists()
+    assert not (raw_out / "images" / "00000.png").exists()
+
+    for dev_norm in (False, True):
+        for split in ("train", "val"):
+            cfg = TransformConfig(base_size=base, crop_size=base,
+                                  random_mirror=True, gaussian_blur=True,
+                                  device_normalize=dev_norm)
+            ds_png = GTA5Dataset(str(png_out), str(png_out / "train.txt"),
+                                 split=split, transform_cfg=cfg)
+            ds_raw = GTA5Dataset(str(raw_out), str(raw_out / "train.txt"),
+                                 split=split, transform_cfg=cfg)
+            if split == "train":
+                ip, lp = ds_raw._pair_paths(ds_raw.items[0])
+                assert ds_raw._fused_train_sample(
+                    ip, lp, np.random.default_rng(0)) is not None
+            for i in range(2):
+                for seed in range(6):
+                    xa, ya, _ = ds_png.get(i, np.random.default_rng(seed))
+                    xb, yb, _ = ds_raw.get(i, np.random.default_rng(seed))
+                    assert xa.dtype == xb.dtype
+                    np.testing.assert_array_equal(xa, xb)
+                    np.testing.assert_array_equal(ya, yb)
+                    # raw route without ANY native code: same bytes
+                    with mock.patch.object(
+                        hostops, "available", return_value=False
+                    ), mock.patch.object(
+                        hostops, "has_gaussian_blur", return_value=False
+                    ):
+                        xc, yc, _ = ds_raw.get(i, np.random.default_rng(seed))
+                    np.testing.assert_array_equal(xa, xc)
+                    np.testing.assert_array_equal(ya, yc)
+
+    # staleness: re-run at a different base_size regenerates the sidecars
+    prepare_split("gta5", str(src), str(src / "train.txt"), str(raw_out),
+                  (16, 8), "train", num_workers=1, fmt="raw")
+    assert np.load(raw_out / "images" / "00000.png.npy").shape == (8, 16, 3)
+
+
 def test_prepare_dataset_synthia_16bit(tmp_path, rng):
     """prepare_dataset preserves SYNTHIA's 16-bit class ids: the 3-channel
     16-bit label PNG is decoded (channel 0), NEAREST-resized, and re-saved

@@ -67,6 +67,14 @@ def _save_mask(mask: Image.Image, path: str) -> None:
         Image.fromarray(ids.astype(np.uint16)).save(path, format="PNG")
 
 
+def _save_raw(arr: np.ndarray, path: str) -> None:
+    """Atomic .npy write (uint8 image / uint8-uint16 label ids)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
 def prepare_split(
     dataset: str,
     root: str,
@@ -77,8 +85,17 @@ def prepare_split(
     num_workers: int = 4,
     force: bool = False,
     city_name: str | None = None,
+    fmt: str = "png",
 ) -> int:
-    """Pre-resize every (image, label) pair of one split; returns pair count."""
+    """Pre-resize every (image, label) pair of one split; returns pair count.
+
+    ``fmt='raw'`` stores the decoded pixels as ``<relpath>.npy`` sidecars
+    instead of PNGs: the loader then skips libpng inflate entirely (the
+    dominant remaining per-sample cost on prepared data — BASELINE.md
+    "Host data pipeline") at ~2.7 MB/image of disk instead of ~1-2 MB.
+    Bit-identical streams either way (PNG is lossless; raw stores the
+    same pixels directly).
+    """
     from tools.common import DATASET_CLS
 
     kw = {}
@@ -92,37 +109,56 @@ def prepare_split(
         **kw,
     )
 
-    from maxsquareloss_tpu.data.cityscapes import _png_size
+    from maxsquareloss_tpu.data.cityscapes import _png_size, _raw_meta, _raw_path
 
-    def fresh(out_path: str, in_path: str) -> bool:
-        """Reusable output: right size (IHDR peek) AND newer than its input
+    def fresh(out_path: str, in_path: str, is_label: bool = False) -> bool:
+        """Reusable output: right size (header peek) AND newer than its input
         — a re-run after a base_size change or a regenerated source never
         silently serves stale pixels."""
-        return (
-            _png_size(out_path) == tuple(base_size)
-            and os.path.getmtime(out_path) >= os.path.getmtime(in_path)
-        )
+        if fmt == "raw":
+            shape, _ = _raw_meta(out_path)
+            want = (base_size[1], base_size[0]) + (() if is_label else (3,))
+            ok = shape == want
+        else:
+            ok = _png_size(out_path) == tuple(base_size)
+        return ok and os.path.getmtime(out_path) >= os.path.getmtime(in_path)
 
     def one(item: str) -> None:
         img_path, lab_path = ds._pair_paths(item)
         out_img = os.path.join(out_root, os.path.relpath(img_path, root))
         out_lab = os.path.join(out_root, os.path.relpath(lab_path, root))
+        if fmt == "raw":
+            out_img, out_lab = _raw_path(out_img), _raw_path(out_lab)
         has_label = os.path.exists(lab_path)  # crosscity train is unlabeled
         if not force and fresh(out_img, img_path) and (
-            not has_label or fresh(out_lab, lab_path)
+            not has_label or fresh(out_lab, lab_path, is_label=True)
         ):
             return
         os.makedirs(os.path.dirname(out_img), exist_ok=True)
         # the dataset's own loaders (native libpng when built; SYNTHIA
         # 16-bit handling) + the runtime's exact resize pair
         img = ds._load_image(img_path).resize(base_size, Image.BICUBIC)
-        img.save(out_img + ".tmp", format="PNG")
-        os.replace(out_img + ".tmp", out_img)
+        if fmt == "raw":
+            _save_raw(np.asarray(img, dtype=np.uint8), out_img)
+        else:
+            img.save(out_img + ".tmp", format="PNG")
+            os.replace(out_img + ".tmp", out_img)
         if has_label:
             os.makedirs(os.path.dirname(out_lab), exist_ok=True)
             mask = ds._load_mask(lab_path).resize(base_size, Image.NEAREST)
-            _save_mask(mask, out_lab + ".tmp")
-            os.replace(out_lab + ".tmp", out_lab)
+            if fmt == "raw":
+                arr = np.asarray(mask)
+                if arr.dtype != np.uint8:
+                    ids = arr.astype(np.int64)
+                    if ids.min() < 0 or ids.max() > 0xFFFF:
+                        raise ValueError(
+                            f"label ids outside uint16 range in {out_lab}"
+                        )
+                    arr = ids.astype(np.uint16)
+                _save_raw(arr, out_lab)
+            else:
+                _save_mask(mask, out_lab + ".tmp")
+                os.replace(out_lab + ".tmp", out_lab)
 
     with ThreadPoolExecutor(max_workers=max(1, num_workers)) as pool:
         list(pool.map(one, ds.items))
@@ -157,6 +193,11 @@ def main() -> None:
     p.add_argument("--city_name", default=None, help="crosscity only")
     p.add_argument("--force", action="store_true",
                    help="re-write existing outputs")
+    p.add_argument("--format", default="png", choices=("png", "raw"),
+                   dest="fmt",
+                   help="'png' = lossless PNGs (smaller on disk); 'raw' = "
+                        ".npy pixel sidecars — the loader skips PNG decode "
+                        "entirely (fastest host path; ~2.7 MB/image)")
     args = p.parse_args()
 
     splits = [s.strip() for s in args.splits.split(",") if s.strip()]
@@ -172,10 +213,10 @@ def main() -> None:
         n = prepare_split(
             args.dataset, paths["root"], list_path, out_ds_root,
             (w, h), split, num_workers=args.num_workers, force=args.force,
-            city_name=args.city_name,
+            city_name=args.city_name, fmt=args.fmt,
         )
         print(f"prepared {args.dataset}/{split}: {n} pairs at {w}x{h} "
-              f"→ {out_ds_root}")
+              f"({args.fmt}) → {out_ds_root}")
 
 
 if __name__ == "__main__":
