@@ -175,13 +175,19 @@ class SegDataset:
         (int32 'I' masks through the transforms) measured ~15% slower on
         the train pipeline. The fused decode+remap native pass is used
         where no resize follows — see _fused_val_sample."""
-        from maxsquareloss_tpu.data import hostops
-
+        # Raw sidecars are resolved HERE, once for every dataset class —
+        # subclasses override _decode_mask only (a SYNTHIA override that
+        # re-implemented _load_mask would silently miss raw roots).
         if os.path.exists(_raw_path(path)):  # raw-prepared root: no decode
             arr = np.load(_raw_path(path))
             if arr.dtype != np.uint8:
                 return Image.fromarray(arr.astype(np.int32), mode="I")
             return Image.fromarray(arr)
+        return self._decode_mask(path)
+
+    def _decode_mask(self, path: str) -> Image.Image:
+        from maxsquareloss_tpu.data import hostops
+
         if path.endswith(".png") and hostops.available():
             with open(path, "rb") as f:
                 arr = hostops.decode_png(f.read(), False)
@@ -227,15 +233,21 @@ class SegDataset:
 
     def _load_raw_pair(self, img_path: str, lab_path: str):
         """(uint8 HWC image, raw label ids) from raw-prepared ``.npy``
-        sidecars at exactly base_size (header-only shape check), or None.
-        No libpng, no C++ needed — the pixels ARE the bytes on disk."""
-        ri, rl = _raw_path(img_path), _raw_path(lab_path)
-        w, h = self.cfg.base_size
-        ishape, idt = _raw_meta(ri)
-        lshape, _ = _raw_meta(rl)
-        if ishape != (h, w, 3) or idt != np.uint8 or lshape != (h, w):
+        sidecars at exactly base_size, or None. No libpng, no C++ needed —
+        the pixels ARE the bytes on disk. One open per file: missing
+        sidecars fail fast inside np.load, and on eligible roots (the
+        steady state) the loaded arrays are the ones used, so a separate
+        header peek would only add opens to the hot loop (round-4
+        review)."""
+        try:
+            img = np.load(_raw_path(img_path))
+            ids = np.load(_raw_path(lab_path))
+        except (OSError, ValueError):
             return None
-        return np.load(ri), np.load(rl)
+        w, h = self.cfg.base_size
+        if img.shape != (h, w, 3) or img.dtype != np.uint8 or ids.shape != (h, w):
+            return None
+        return img, ids
 
     def _fused_val_sample(self, img_path: str, lab_path: str):
         """Exact fully-fused val fast path.

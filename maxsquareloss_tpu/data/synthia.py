@@ -49,8 +49,11 @@ class SynthiaDataset(SegDataset):
             os.path.join(self.root, "GT", "LABELS", name),
         )
 
-    def _load_mask(self, path: str):
-        """→ PIL 'I' of RAW SYNTHIA class ids (remapped late, in get())."""
+    def _decode_mask(self, path: str):
+        """→ PIL 'I' of RAW SYNTHIA class ids (remapped late, in get()).
+
+        Raw-sidecar roots never reach here — SegDataset._load_mask resolves
+        ``<path>.npy`` first and only delegates decode to this hook."""
         from maxsquareloss_tpu.data import hostops
 
         if hostops.available():

@@ -341,10 +341,32 @@ def test_prepare_dataset_raw_format(tmp_path, rng):
                     np.testing.assert_array_equal(xa, xc)
                     np.testing.assert_array_equal(ya, yc)
 
+    # the GENERAL path (random_crop forces it) honors raw sidecars too —
+    # the check lives in the shared SegDataset loaders, not per subclass
+    cfg_crop = TransformConfig(base_size=base, crop_size=(16, 8),
+                               random_crop=True, gaussian_blur=False)
+    ds_pc = GTA5Dataset(str(png_out), str(png_out / "train.txt"),
+                        split="train", transform_cfg=cfg_crop)
+    ds_rc = GTA5Dataset(str(raw_out), str(raw_out / "train.txt"),
+                        split="train", transform_cfg=cfg_crop)
+    xa, ya, _ = ds_pc.get(0, np.random.default_rng(5))
+    xb, yb, _ = ds_rc.get(0, np.random.default_rng(5))
+    np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_array_equal(ya, yb)
+
     # staleness: re-run at a different base_size regenerates the sidecars
     prepare_split("gta5", str(src), str(src / "train.txt"), str(raw_out),
                   (16, 8), "train", num_workers=1, fmt="raw")
     assert np.load(raw_out / "images" / "00000.png.npy").shape == (8, 16, 3)
+
+    # a png re-prepare over a raw-prepared root REMOVES the sidecars — the
+    # loader prefers .npy unconditionally, so leftovers would silently
+    # serve the old pixels (round-4 review)
+    prepare_split("gta5", str(src), str(src / "train.txt"), str(raw_out),
+                  base, "train", num_workers=1, fmt="png")
+    assert not (raw_out / "images" / "00000.png.npy").exists()
+    assert not (raw_out / "labels" / "00000.png.npy").exists()
+    assert Image.open(raw_out / "images" / "00000.png").size == base
 
 
 def test_prepare_dataset_synthia_16bit(tmp_path, rng):

@@ -129,6 +129,14 @@ def prepare_split(
         out_lab = os.path.join(out_root, os.path.relpath(lab_path, root))
         if fmt == "raw":
             out_img, out_lab = _raw_path(out_img), _raw_path(out_lab)
+        else:
+            # a png re-prepare over a previously raw-prepared root must
+            # remove the .npy sidecars: the loader prefers them
+            # unconditionally, so leaving them would silently serve the
+            # OLD pixels (round-4 review)
+            for stale in (_raw_path(out_img), _raw_path(out_lab)):
+                if os.path.exists(stale):
+                    os.remove(stale)
         has_label = os.path.exists(lab_path)  # crosscity train is unlabeled
         if not force and fresh(out_img, img_path) and (
             not has_label or fresh(out_lab, lab_path, is_label=True)
