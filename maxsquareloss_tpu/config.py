@@ -114,6 +114,12 @@ class TrainConfig:
     eval_h_chunk: int = -1
     profile: bool = False              # capture a jax.profiler trace of steps 2-5
     debug_nans: bool = False           # jax_debug_nans sanitizer mode
+    # graceful preemption: on SIGTERM, finish the in-flight step, write a
+    # mid-epoch checkpoint (carrying the exact batch offset) and exit 0, so
+    # --continue_training resumes the preempted run bitwise (§5.3). In
+    # multi-host runs the stop decision is allgather-synced per step so
+    # every process checkpoints the same iteration.
+    preempt_save: bool = True
 
     # multi-host (SURVEY.md §5.8: DCN axis across processes; on TPU pods
     # these are auto-detected and can stay None)
@@ -212,6 +218,9 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the first steps")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (sanitizer mode)")
+    p.add_argument("--preempt_save", type=str2bool, default=True,
+                   help="on SIGTERM: checkpoint at the next step boundary "
+                        "and exit cleanly (resume with --continue_training)")
     p.add_argument("--coordinator_address", default=None,
                    help="multi-host: ip:port of process 0 (TPU pods "
                         "auto-detect; leave unset for single-host)")

@@ -14,6 +14,7 @@ eval confusion matrix accumulates on device and syncs once per epoch.
 from __future__ import annotations
 
 import os
+import signal
 import time
 from typing import Any, Iterable
 
@@ -117,6 +118,8 @@ class Trainer:
         self.best_miou = 0.0
         self._epoch_batch = 0       # batches consumed in the current epoch
         self._resume_skip = 0       # batches to skip on the next epoch (resume)
+        self._preempt_requested = False  # SIGTERM seen by THIS process
+        self.preempted = False           # synced decision: stopped early
 
     # hooks for UDATrainer -------------------------------------------------
 
@@ -233,35 +236,96 @@ class Trainer:
             epoch_batch=self._epoch_batch if mid_epoch else 0,
         )
 
+    # graceful preemption (SIGTERM → checkpoint + clean exit, §5.3) ---------
+
+    def _install_preempt_handler(self):
+        """SIGTERM sets a flag; the train loop acts on it at the next step
+        boundary. Returns the previous handler (restored after train())."""
+        if not self.cfg.preempt_save:
+            return None
+
+        def _on_sigterm(signum, frame):
+            self._preempt_requested = True
+            self.logger.info(
+                "SIGTERM received — will checkpoint and exit at the next "
+                "step boundary"
+            )
+
+        try:
+            return signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            # signal.signal only works in the main thread; a Trainer driven
+            # from a worker thread (tests, embedding apps) just skips this
+            return None
+
+    def _preempt_now(self) -> bool:
+        """Synced preemption decision, called once per train step.
+
+        Multi-host: a checkpoint save is a collective, so every process must
+        stop at the SAME iteration even though preemption SIGTERMs land at
+        different times on different hosts — a tiny per-step allgather of
+        the local flag keeps the decision in lockstep (every process calls
+        this exactly once per step, and steps run in lockstep)."""
+        if not self.cfg.preempt_save:
+            return False
+        if jax.process_count() == 1:
+            return self._preempt_requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(self._preempt_requested)
+        )
+        return bool(np.max(flags))
+
+    # ----------------------------------------------------------------------
+
     def train(self):
         stop_iter = self.cfg.effective_iter_stop()
-        for epoch in range(self.current_epoch, self.cfg.epoch_num):
-            if int(np.asarray(self.state.iteration)) >= stop_iter:
-                # e.g. resuming a checkpoint already at iter_stop: do NOT
-                # run (and checkpoint) a step past the configured stop
-                self.logger.info("already at iter_stop — nothing to train")
-                break
-            self.current_epoch = epoch
-            self.train_one_epoch()
-            if int(np.asarray(self.state.iteration)) >= stop_iter:
-                self.logger.info("reached iter_stop — finishing")
-            # an iter_stop that lands mid-epoch must checkpoint as
-            # mid-epoch (with the batch offset) so a later
-            # --continue_training resumes the exact data order
-            mid = not self._epoch_complete()
-            if self.val_loader is not None and (
-                (epoch + 1) % self.cfg.validation_epoch == 0
-            ):
-                miou = self.validate()
-                is_best = miou > self.best_miou
-                self.best_miou = max(self.best_miou, miou)
-                self.save_checkpoint(is_best=is_best, mid_epoch=mid)
-            else:
-                self.save_checkpoint(mid_epoch=mid)
-            if int(np.asarray(self.state.iteration)) >= stop_iter:
-                break
-        ckpt_lib.wait_for_saves()  # drain the async checkpoint pipeline
-        self.writer.flush()
+        prev_handler = self._install_preempt_handler()
+        try:
+            for epoch in range(self.current_epoch, self.cfg.epoch_num):
+                if int(np.asarray(self.state.iteration)) >= stop_iter:
+                    # e.g. resuming a checkpoint already at iter_stop: do NOT
+                    # run (and checkpoint) a step past the configured stop
+                    self.logger.info("already at iter_stop — nothing to train")
+                    break
+                self.current_epoch = epoch
+                self.train_one_epoch()
+                if int(np.asarray(self.state.iteration)) >= stop_iter:
+                    self.logger.info("reached iter_stop — finishing")
+                # an iter_stop that lands mid-epoch must checkpoint as
+                # mid-epoch (with the batch offset) so a later
+                # --continue_training resumes the exact data order
+                mid = not self._epoch_complete()
+                if self.preempted:
+                    # preemption grace periods are short: skip validation,
+                    # save (mid-epoch, with the batch offset) and leave
+                    self.save_checkpoint(mid_epoch=mid)
+                    self.logger.info(
+                        "preempted — checkpoint saved at iter "
+                        f"{int(np.asarray(self.state.iteration))}; resume "
+                        "with --continue_training"
+                    )
+                    break
+                if self.val_loader is not None and (
+                    (epoch + 1) % self.cfg.validation_epoch == 0
+                ):
+                    miou = self.validate()
+                    is_best = miou > self.best_miou
+                    self.best_miou = max(self.best_miou, miou)
+                    self.save_checkpoint(is_best=is_best, mid_epoch=mid)
+                else:
+                    self.save_checkpoint(mid_epoch=mid)
+                if int(np.asarray(self.state.iteration)) >= stop_iter:
+                    break
+            # drain INSIDE the protected region: a SIGTERM landing during
+            # the final async checkpoint write must not kill the process
+            # mid-save (the handler just records it; training is over)
+            ckpt_lib.wait_for_saves()
+            self.writer.flush()
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
 
     def train_one_epoch(self):
         cfg = self.cfg
@@ -315,6 +379,9 @@ class Trainer:
                 # periodic mid-epoch checkpoint (preemption resilience,
                 # SURVEY.md §5.3 rebuild plan)
                 self.save_checkpoint(mid_epoch=True)
+            if self._preempt_now():
+                self.preempted = True
+                break
             if it >= cfg.effective_iter_stop():
                 break
         if profiling:

@@ -159,6 +159,74 @@ def test_mid_epoch_resume_exact_data_order(tmp_path):
         assert resumed[it] == truth[it], f"iter {it} diverged"
 
 
+def test_sigterm_preempt_checkpoints_and_resumes_bitwise(tmp_path):
+    """Graceful preemption (§5.3): a SIGTERM delivered mid-epoch makes
+    train() finish the in-flight step, write a mid-epoch checkpoint with the
+    batch offset, and RETURN cleanly (no exception, exit 0 from the CLIs);
+    --continue_training then reproduces the uninterrupted loss trajectory
+    bitwise. Also pins that the previous SIGTERM handler is restored."""
+    import signal as _signal
+
+    def losses_by_iter(run_dir):
+        out = {}
+        for line in open(os.path.join(run_dir, "scalars.jsonl")):
+            rec = json.loads(line)
+            if rec["tag"] == "train/loss":
+                out[rec["step"]] = rec["value"]
+        return out
+
+    # ground truth: uninterrupted 2 epochs x 4 batches
+    dir_a = tmp_path / "a"
+    cfg_a = _cfg(dir_a, epoch_num=2, validation_epoch=100)
+    Trainer(cfg_a, _loader(n=32, batch=8), None).train()
+    truth = losses_by_iter(str(dir_a))
+    assert set(truth) == set(range(1, 9))
+
+    # preempted run: a real SIGTERM arrives while step 3 is being issued
+    dir_b = tmp_path / "b"
+    cfg_b = _cfg(dir_b, epoch_num=2, validation_epoch=100)
+
+    class SignalingTrainer(Trainer):
+        def _run_step(self, batch):
+            if int(np.asarray(self.state.iteration)) == 2:
+                os.kill(os.getpid(), _signal.SIGTERM)
+            return super()._run_step(batch)
+
+    before = _signal.getsignal(_signal.SIGTERM)
+    tr = SignalingTrainer(cfg_b, _loader(n=32, batch=8), None)
+    tr.train()  # returns cleanly — no exception
+    assert tr.preempted
+    assert _signal.getsignal(_signal.SIGTERM) is before
+    assert int(np.asarray(tr.state.iteration)) == 3  # in-flight step finished
+
+    # resume: must continue at epoch 0, batch 3 and match the truth bitwise
+    cfg_c = _cfg(
+        dir_b, epoch_num=2, validation_epoch=100, continue_training=True,
+    )
+    tr2 = Trainer(cfg_c, _loader(n=32, batch=8), None)
+    tr2.main()
+    assert not tr2.preempted
+    resumed = losses_by_iter(str(dir_b))
+    assert int(np.asarray(tr2.state.iteration)) == 8
+    for it in range(4, 9):
+        assert resumed[it] == truth[it], f"iter {it} diverged"
+
+
+def test_preempt_save_false_keeps_default_sigterm(tmp_path):
+    """--preempt_save false: the trainer must not install any handler."""
+    import signal as _signal
+
+    before = _signal.getsignal(_signal.SIGTERM)
+
+    class Probing(Trainer):
+        def _run_step(self, batch):
+            assert _signal.getsignal(_signal.SIGTERM) is before
+            return super()._run_step(batch)
+
+    cfg = _cfg(tmp_path, epoch_num=1, preempt_save=False)
+    Probing(cfg, _loader(), None).train()
+
+
 def test_uda_trainer_end_to_end(tmp_path):
     cfg = _cfg(tmp_path, target_mode="IW_maxsquare", epoch_num=1)
     tr = UDATrainer(
