@@ -121,6 +121,11 @@ class TrainConfig:
     # every process checkpoints the same iteration.
     preempt_save: bool = True
 
+    # persistent XLA compilation cache: 'auto' = $XDG_CACHE_HOME/
+    # maxsquareloss_tpu/xla (removes the repeated compile cost across CLI
+    # invocations — utils/runtime.py), '' = off, else a literal dir
+    compilation_cache_dir: str = "auto"
+
     # multi-host (SURVEY.md §5.8: DCN axis across processes; on TPU pods
     # these are auto-detected and can stay None)
     coordinator_address: str | None = None
@@ -221,6 +226,10 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--preempt_save", type=str2bool, default=True,
                    help="on SIGTERM: checkpoint at the next step boundary "
                         "and exit cleanly (resume with --continue_training)")
+    p.add_argument("--compilation_cache_dir", default="auto",
+                   help="persistent XLA compilation cache: 'auto' "
+                        "(~/.cache/maxsquareloss_tpu/xla), '' to disable, "
+                        "or an explicit dir — repeat CLI runs skip compiles")
     p.add_argument("--coordinator_address", default=None,
                    help="multi-host: ip:port of process 0 (TPU pods "
                         "auto-detect; leave unset for single-host)")

@@ -146,9 +146,13 @@ def load_inference_params(cfg: TrainConfig):
 
 
 def maybe_init_distributed(cfg: TrainConfig):
-    """Multi-host bring-up (must run before any other jax device use)."""
-    from maxsquareloss_tpu.parallel.multihost import initialize_distributed
+    """Runtime bring-up: multi-host init + persistent compilation cache.
 
+    Must run before any other jax device use / first compilation."""
+    from maxsquareloss_tpu.parallel.multihost import initialize_distributed
+    from maxsquareloss_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache(cfg.compilation_cache_dir)
     initialize_distributed(
         cfg.coordinator_address, cfg.num_processes, cfg.process_id
     )

@@ -109,6 +109,10 @@ def main(argv=None):
                         "with the matching sharding (see sidecar). 1 = off")
     args = p.parse_args(argv)
 
+    from maxsquareloss_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache("auto")
+
     h, w = (int(v) for v in args.hw.split(","))
     oh, ow = (int(v) for v in (args.out_hw or args.hw).split(","))
     scales = tuple(float(s) for s in args.scales.split(","))

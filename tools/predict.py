@@ -91,6 +91,9 @@ def main(argv=None):
                              "(logits upsampled align-corners); false = base_size")
     args = parser.parse_args(argv)
     cfg = config_from_args(args)
+    from maxsquareloss_tpu.utils.runtime import setup_compilation_cache
+
+    setup_compilation_cache(cfg.compilation_cache_dir)
     logger = setup_logger(args.output_dir, "predict")
     os.makedirs(args.output_dir, exist_ok=True)
 
