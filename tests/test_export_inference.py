@@ -81,6 +81,47 @@ def test_export_selftest_cli(tmp_path, small_ckpt):
     main(["--load", out, "--selftest", "--pretrained_ckpt_file", small_ckpt])
 
 
+def test_export_bf16_embedded_params(tmp_path, small_ckpt, rng):
+    """--embed_dtype compute (default) stores bf16 parameter constants when
+    compute is bfloat16: bit-identical outputs to the fp32-embedded artifact
+    (the graph casts weights to the activation dtype at their single point
+    of use, so the fp32->bf16 rounding happens exactly once either way) at
+    roughly half the serialized size."""
+    import os
+
+    from jax import export as jax_export
+
+    from tools.export_inference import main
+
+    common = ["--pretrained_ckpt_file", small_ckpt, "--hw", "32,64",
+              "--batch_size", "2", "--blocks", "1,1,2,1",
+              "--compute_dtype", "bfloat16", "--platforms", "cpu"]
+    out16 = str(tmp_path / "m_bf16")
+    out32 = str(tmp_path / "m_fp32")
+    main(common + ["--output", out16])
+    main(common + ["--output", out32, "--embed_dtype", "float32"])
+    meta16 = json.load(open(out16 + ".json"))
+    meta32 = json.load(open(out32 + ".json"))
+    assert meta16["embed_dtype"] == "bfloat16"
+    assert meta32["embed_dtype"] == "float32"
+
+    s16 = os.path.getsize(out16 + ".stablehlo")
+    s32 = os.path.getsize(out32 + ".stablehlo")
+    assert s16 < 0.65 * s32, (s16, s32)  # params dominate the artifact
+
+    x = rng.integers(0, 256, size=(2, 32, 64, 3)).astype(np.uint8)
+    with open(out16 + ".stablehlo", "rb") as f:
+        a16 = jax_export.deserialize(f.read())
+    with open(out32 + ".stablehlo", "rb") as f:
+        a32 = jax_export.deserialize(f.read())
+    np.testing.assert_array_equal(np.asarray(a16.call(x)),
+                                  np.asarray(a32.call(x)))
+
+    # the CLI selftest (live graph rebuilt with fp32 params) also passes
+    main(["--load", out16, "--selftest", "--pretrained_ckpt_file",
+          small_ckpt])
+
+
 def test_export_spatial_partitioned_artifact(tmp_path, small_ckpt, rng):
     """--sp 4: the artifact carries the GSPMD (1, 4) 'space' partitioning
     (image height split across 4 devices, halo exchanges baked in) and is

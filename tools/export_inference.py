@@ -54,6 +54,22 @@ def load_params(cfg: TrainConfig):
     return load_inference_params(cfg)
 
 
+def embed_cast(tree, dtype):
+    """Pre-cast fp32 leaves to the compute dtype before embedding.
+
+    ``apply_deeplabv2`` casts every weight to the activation dtype at its
+    single point of use (``layers.py`` conv2d / frozen_bn ``.astype(
+    x.dtype)``), so embedding bf16 constants is BIT-IDENTICAL to embedding
+    fp32 ones under bfloat16 compute — the fp32→bf16 round-to-nearest-even
+    happens exactly once either way — while halving the artifact (the
+    parameter constants are ~all of its bytes) and the serving process's
+    param memory. Pinned by tests/test_export_inference.py.
+    """
+    return jax.tree.map(
+        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree
+    )
+
+
 def make_serving_fn(cfg: TrainConfig, params, frozen, scales, flip, out_hw):
     """uint8 (or pre-normalized f32) NHWC batch → int32 trainIds.
 
@@ -100,6 +116,14 @@ def main(argv=None):
     p.add_argument("--flip", type=str2bool, default=False)
     p.add_argument("--platforms", default="cpu,tpu",
                    help="comma list of target platforms for the artifact")
+    p.add_argument("--embed_dtype", default="compute",
+                   choices=("compute", "float32"),
+                   help="dtype of the embedded parameter constants: "
+                        "'compute' (default) stores bf16 params when "
+                        "--compute_dtype bfloat16 — bit-identical outputs "
+                        "(the graph casts weights to the activation dtype "
+                        "anyway) at half the artifact size; 'float32' "
+                        "keeps fp32 constants")
     p.add_argument("--sp", type=int, default=1,
                    help="spatial partitioning: export the graph sharded over "
                         "a (1, sp) 'space' mesh (image height split across "
@@ -186,6 +210,12 @@ def main(argv=None):
     if not (args.pretrained_ckpt_file and args.output):
         p.error("--pretrained_ckpt_file and --output are required for export")
     params, frozen = load_params(cfg)
+    embedded = "float32"
+    if args.embed_dtype == "compute" and args.compute_dtype == "bfloat16":
+        params, frozen = embed_cast(params, jnp.bfloat16), embed_cast(
+            frozen, jnp.bfloat16
+        )
+        embedded = "bfloat16"
     serve = make_serving_fn(cfg, params, frozen, scales, args.flip, (oh, ow))
     if args.sp > 1:
         # sharded serving artifact: jit over a (1, sp) pure-SP mesh so the
@@ -225,6 +255,7 @@ def main(argv=None):
         "normalization": "caffe BGR-mean" if args.numpy_transform
                          else "torchvision mean/std",
         "compute_dtype": args.compute_dtype,
+        "embed_dtype": embedded,
         "scales": list(scales),
         "flip": args.flip,
         "platforms": list(exp.platforms),
