@@ -132,6 +132,19 @@ def measure_step_rate(args, dtype: str, remat: str, batch: int):
             cfg, frozen, scales=scales, flip=args.flip
         )
         p_infer = state.params
+        if getattr(args, "quantize", ""):
+            # post-training int8 backbone (models/quantize.py): calibrate on
+            # the bench batch itself (throughput only cares about the graph,
+            # not the ranges), quantize, re-replicate over the mesh
+            from maxsquareloss_tpu.models.quantize import (
+                calibrate,
+                quantize_params,
+            )
+
+            amax = calibrate(p_infer, frozen, cfg, [np.asarray(xs)])
+            p_infer = quantize_params(p_infer, amax)
+            if n_chips > 1:
+                p_infer = replicate_tree(mesh, p_infer)
         counter = [0]
 
         def run(s):
@@ -190,6 +203,9 @@ def main():
     p.add_argument("--label_hw", default="",
                    help="infer mode: label resolution H,W (full-res "
                         "protocol: 1024,2048); default = input --hw")
+    p.add_argument("--quantize", default="", choices=("", "int8"),
+                   help="infer mode: post-training int8 backbone convs "
+                        "(MXU int8 path, models/quantize.py)")
     p.add_argument("--eval_h_chunk", type=int, default=-1,
                    help="infer mode: stream the upsample/argmax/CM tail "
                         "over output-row blocks of this height "
@@ -253,6 +269,8 @@ def main():
         extra["flip"] = args.flip
         extra["label_hw"] = args.label_hw or args.hw
         extra["eval_h_chunk"] = args.eval_h_chunk
+        if args.quantize:
+            extra["quantize"] = args.quantize
     do_infer = args.with_infer
     if do_infer is None:
         do_infer = args.mode == "uda" and args.dtype == "bfloat16"
@@ -267,6 +285,7 @@ def main():
 
         iargs = copy.copy(args)
         iargs.mode = "infer"
+        iargs.quantize = ""  # value_infer_* always means the fp compute dtype
         infer_val, infer_ms, _ = measure_step_rate(
             iargs, args.dtype, "", args.batch
         )

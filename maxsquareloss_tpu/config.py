@@ -112,6 +112,13 @@ class TrainConfig:
     # (chunk 256 whenever the label height exceeds 512 — measured strictly
     # faster AND memory-bounded at full res, BASELINE.md); 0 = explicit off.
     eval_h_chunk: int = -1
+    # post-training quantization for eval/predict/serving: '' (off) or
+    # 'int8' — backbone convs run int8 on the MXU (1.37-2.19x bf16 conv
+    # throughput on v5e), classifier heads stay fp; activations calibrated
+    # on the first calib_batches eval batches (models/quantize.py).
+    # Training paths ignore this (the optimizer owns fp32 masters).
+    quantize: str = ""
+    calib_batches: int = 4
     profile: bool = False              # capture a jax.profiler trace of steps 2-5
     debug_nans: bool = False           # jax_debug_nans sanitizer mode
     # graceful preemption: on SIGTERM, finish the in-flight step, write a
@@ -223,6 +230,12 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of the first steps")
     p.add_argument("--debug_nans", action="store_true",
                    help="enable jax_debug_nans (sanitizer mode)")
+    p.add_argument("--quantize", default="", choices=("", "int8"),
+                   help="eval/predict/serving only: int8 backbone convs on "
+                        "the MXU (activations calibrated on the first "
+                        "--calib_batches eval batches); heads stay fp")
+    p.add_argument("--calib_batches", type=int, default=4,
+                   help="batches used for int8 activation calibration")
     p.add_argument("--preempt_save", type=str2bool, default=True,
                    help="on SIGTERM: checkpoint at the next step boundary "
                         "and exit cleanly (resume with --continue_training)")

@@ -33,6 +33,7 @@ from maxsquareloss_tpu.models.layers import (
     aspp_sum,
     classifier_normal,
     conv2d,
+    conv_site,
     frozen_bn,
     kaiming_normal,
     max_pool_ceil,
@@ -151,19 +152,19 @@ def _bottleneck(
     mask: jax.Array | None = None,
 ) -> jax.Array:
     residual = x
-    y = conv2d(x, p["conv1"]["w"], stride=stride)
+    y = conv_site(x, p["conv1"], stride=stride)
     y = jax.nn.relu(frozen_bn(y, **f["bn1"]))
     if mask is not None:
         # canvas mode: frozen-BN shifts repopulate the pad region after every
         # 1x1 conv; re-zero it before the spatial conv so border reads stay
         # exactly the zero padding the unpadded forward would see
         y = y * mask.astype(y.dtype)
-    y = conv2d(y, p["conv2"]["w"], padding=dilation, dilation=dilation)
+    y = conv_site(y, p["conv2"], padding=dilation, dilation=dilation)
     y = jax.nn.relu(frozen_bn(y, **f["bn2"]))
-    y = conv2d(y, p["conv3"]["w"])
+    y = conv_site(y, p["conv3"])
     y = frozen_bn(y, **f["bn3"])
     if "downsample" in p:
-        residual = frozen_bn(conv2d(x, p["downsample"]["w"], stride=stride), **f["bn_down"])
+        residual = frozen_bn(conv_site(x, p["downsample"], stride=stride), **f["bn_down"])
     return jax.nn.relu(y + residual)
 
 
@@ -296,7 +297,7 @@ def apply_deeplabv2(
       (matching the reference's trainer-side F.interpolate).
     """
     x = x.astype(cfg.compute_dtype)
-    y = conv2d(x, params["conv1"]["w"], stride=2, padding=3)
+    y = conv_site(x, params["conv1"], stride=2, padding=3)
     y = jax.nn.relu(frozen_bn(y, **frozen["bn1"]))
     if masks is not None:
         y = y * masks["pool_in"].astype(y.dtype)

@@ -51,6 +51,59 @@ def conv2d(
     return y
 
 
+# -- backbone conv-site dispatch (fp / int8) --------------------------------
+#
+# A "site" is the per-conv params subtree ({'w': HWIO}, or the int8 form
+# {'w': int8 HWIO, 'oscale': (O,) f32, 'ascale_inv': () f32} built by
+# models/quantize.py). Training always uses fp sites, so conv_site is a
+# transparent alias for conv2d there; quantized eval/serving params flow
+# through the SAME model code with the int8 MXU path selected per site.
+
+_calib_recorder = None  # set by models/quantize.calibrate (eager-only hook)
+
+
+def qconv2d(
+    x: jax.Array, site: dict, stride: int = 1, padding: int = 0,
+    dilation: int = 1,
+) -> jax.Array:
+    """int8 conv: symmetric per-tensor activation quant → int8 MXU conv
+    (int32 accumulation, exact) → per-output-channel dequant back to the
+    compute dtype. Quant/dequant math runs in f32 (scale application error
+    stays at 1-ulp instead of bf16's ~0.4%); zero maps to 0 exactly, so
+    XLA's zero padding is exact through quantization. v5e executes int8
+    convs at 1.37-2.19x bf16 MXU throughput (experiments/bench_int8.py)."""
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * site["ascale_inv"]), -127.0, 127.0
+    ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        site["w"],
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=CONV_DIMS,
+        preferred_element_type=jnp.int32,
+    )
+    return (
+        y.astype(jnp.float32) * site["oscale"].astype(jnp.float32)
+    ).astype(x.dtype)
+
+
+def conv_site(
+    x: jax.Array, site: dict, stride: int = 1, padding: int = 0,
+    dilation: int = 1,
+) -> jax.Array:
+    """Backbone conv by site subtree: fp conv2d, or the int8 path when the
+    site holds quantized weights. The calibration recorder (if installed)
+    observes every site's input amax — models/quantize.py."""
+    if _calib_recorder is not None:
+        _calib_recorder(site, x)
+    w = site["w"]
+    if w.dtype == jnp.int8:
+        return qconv2d(x, site, stride, padding, dilation)
+    return conv2d(x, w, stride, padding, dilation)
+
+
 def frozen_bn(x: jax.Array, scale: jax.Array, bias: jax.Array) -> jax.Array:
     """Frozen BatchNorm as folded affine: ``x * scale + bias``.
 

@@ -111,11 +111,11 @@ def _run_cli(tool: str, args: list[str]) -> str:
     return proc.stdout + proc.stderr
 
 
-def _eval_miou(run_dir: str, data: str, ckpt: str) -> float:
+def _eval_miou(run_dir: str, data: str, ckpt: str, *extra: str) -> float:
     out = _run_cli("evaluate.py", [
         "--dataset", "cityscapes", "--data_root_path", data,
         "--checkpoint_dir", run_dir, "--pretrained_ckpt_file", ckpt,
-        *SIZE_FLAGS, *COMMON,
+        *SIZE_FLAGS, *COMMON, *extra,
     ])
     m = re.search(r"'MIoU': ([0-9.eE+-]+)", out)
     assert m, f"no MIoU in output:\n{out[-2000:]}"
@@ -287,6 +287,14 @@ def test_cli_e2e_miou_regression(tmp_path):
     run_a = train_source("a", 60)
     miou_a = _eval_miou(str(tmp_path / "eval_a"), data, f"{run_a}/checkpoint_latest")
     assert miou_a > 0.15, f"source training regressed: mIoU {miou_a:.4f}"
+
+    # post-training int8 (--quantize int8, models/quantize.py): quantized
+    # eval of the same checkpoint must hold the learned accuracy
+    miou_q = _eval_miou(str(tmp_path / "eval_q"), data,
+                        f"{run_a}/checkpoint_latest", "--quantize", "int8")
+    assert miou_q > 0.85 * miou_a, (
+        f"int8 PTQ dropped mIoU: {miou_q:.4f} vs fp {miou_a:.4f}"
+    )
 
     # bitwise run-to-run reproducibility (stateless sample RNG + fixed
     # seeds) on a pair of short runs

@@ -158,3 +158,48 @@ def test_export_spatial_partitioned_artifact(tmp_path, small_ckpt, rng):
 
     # the CLI selftest flow handles the sharded artifact end to end
     main(["--load", out, "--selftest", "--pretrained_ckpt_file", small_ckpt])
+
+
+def test_export_quantized_int8_artifact(tmp_path, small_ckpt, rng):
+    """--quantize int8: the artifact embeds int8 backbone convs calibrated
+    on the --calib_images glob; the sidecar records quantize + per-site
+    calib_amax so --selftest deterministically rebuilds the identical
+    quantized live graph from the fp checkpoint (exact comparison)."""
+    from PIL import Image
+
+    from jax import export as jax_export
+
+    from tools.export_inference import main
+
+    for i in range(3):  # calibration images at a non-export size (resized)
+        arr = rng.integers(0, 256, size=(40, 70, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"calib_{i}.png")
+
+    out = str(tmp_path / "mq")
+    main(["--pretrained_ckpt_file", small_ckpt, "--output", out,
+          "--hw", "32,64", "--batch_size", "2", "--blocks", "1,1,2,1",
+          "--compute_dtype", "float32", "--platforms", "cpu",
+          "--quantize", "int8",
+          "--calib_images", str(tmp_path / "calib_*.png")])
+    meta = json.load(open(out + ".json"))
+    assert meta["quantize"] == "int8"
+    assert meta["calib_amax"] and all(v > 0 for v in meta["calib_amax"].values())
+
+    with open(out + ".stablehlo", "rb") as f:
+        art = jax_export.deserialize(f.read())
+    x = rng.integers(0, 256, size=(2, 32, 64, 3)).astype(np.uint8)
+    got = np.asarray(art.call(x))
+    assert got.shape == (2, 32, 64) and got.dtype == np.int32
+
+    # selftest: rebuild the quantized live graph from the sidecar amax
+    main(["--load", out, "--selftest", "--pretrained_ckpt_file", small_ckpt])
+
+    # quantized argmax maps stay close to the fp artifact's
+    outf = str(tmp_path / "mf")
+    main(["--pretrained_ckpt_file", small_ckpt, "--output", outf,
+          "--hw", "32,64", "--batch_size", "2", "--blocks", "1,1,2,1",
+          "--compute_dtype", "float32", "--platforms", "cpu"])
+    with open(outf + ".stablehlo", "rb") as f:
+        fp_art = jax_export.deserialize(f.read())
+    agree = (np.asarray(fp_art.call(x)) == got).mean()
+    assert agree > 0.9, agree

@@ -45,17 +45,26 @@ def main(argv=None):
 
     params, frozen = load_inference_params(cfg)
 
-    mesh = make_mesh(cfg.data_parallel, cfg.sp)
-    if mesh is not None:
-        params = replicate_tree(mesh, params)
-        frozen = replicate_tree(mesh, frozen)
-
     paths = default_paths(args.data_root_path)[cfg.dataset]
     loader = make_loader(
         cfg, cfg.dataset, paths["root"], args.list_path or paths["val"], "val",
         class_16=cfg.class_16, class_13=cfg.class_13,
         full_res_labels=args.full_res_labels,
     )
+
+    if cfg.quantize == "int8":
+        # post-training int8: calibrate on the first --calib_batches val
+        # batches (a fresh loader pass — evaluation below re-iterates from
+        # the start, so no samples are skipped), then swap in the drop-in
+        # int8 backbone tree (models/quantize.py)
+        from maxsquareloss_tpu.models.quantize import quantize_from_loader
+
+        params = quantize_from_loader(cfg, params, frozen, loader, logger)
+
+    mesh = make_mesh(cfg.data_parallel, cfg.sp)
+    if mesh is not None:
+        params = replicate_tree(mesh, params)
+        frozen = replicate_tree(mesh, frozen)
     scales = tuple(float(s) for s in args.scales.split(","))
     out = evaluate(
         params, frozen, cfg, loader,

@@ -65,9 +65,17 @@ def embed_cast(tree, dtype):
     parameter constants are ~all of its bytes) and the serving process's
     param memory. Pinned by tests/test_export_inference.py.
     """
-    return jax.tree.map(
-        lambda a: a.astype(dtype) if a.dtype == jnp.float32 else a, tree
-    )
+    def cast(path, a):
+        if a.dtype != jnp.float32:
+            return a  # int8 weights, etc.
+        if path and getattr(path[-1], "key", None) in ("oscale", "ascale_inv"):
+            # int8 dequant scales must stay f32: the quantized conv applies
+            # them in f32 (1-ulp scale error); bf16 storage would inject
+            # ~0.4% scale noise into every backbone conv output
+            return a
+        return a.astype(dtype)
+
+    return jax.tree_util.tree_map_with_path(cast, tree)
 
 
 def make_serving_fn(cfg: TrainConfig, params, frozen, scales, flip, out_hw):
@@ -124,6 +132,15 @@ def main(argv=None):
                         "(the graph casts weights to the activation dtype "
                         "anyway) at half the artifact size; 'float32' "
                         "keeps fp32 constants")
+    p.add_argument("--quantize", default="", choices=("", "int8"),
+                   help="post-training int8: backbone convs run int8 on the "
+                        "MXU inside the artifact (heads stay fp). Needs "
+                        "--calib_images; the calibration amax per conv site "
+                        "is recorded in the sidecar so --selftest can "
+                        "rebuild the identical live graph")
+    p.add_argument("--calib_images", default="",
+                   help="glob of calibration images for --quantize int8 "
+                        "(resized to --hw; first 16 matches used)")
     p.add_argument("--sp", type=int, default=1,
                    help="spatial partitioning: export the graph sharded over "
                         "a (1, sp) 'space' mesh (image height split across "
@@ -177,6 +194,12 @@ def main(argv=None):
                 data_parallel=False,
             )
             params, frozen = load_params(cfg)
+            if meta.get("quantize") == "int8":
+                # deterministic rebuild: same fp params + the sidecar's own
+                # calibration amax => bit-identical int8 weights and scales
+                from maxsquareloss_tpu.models.quantize import quantize_params
+
+                params = quantize_params(params, meta["calib_amax"])
             serve = make_serving_fn(
                 cfg, params, frozen, tuple(meta["scales"]), meta["flip"],
                 tuple(meta["out_hw"]),
@@ -210,6 +233,31 @@ def main(argv=None):
     if not (args.pretrained_ckpt_file and args.output):
         p.error("--pretrained_ckpt_file and --output are required for export")
     params, frozen = load_params(cfg)
+    quant_amax = None
+    if args.quantize == "int8":
+        import glob as globlib
+
+        from PIL import Image
+
+        from maxsquareloss_tpu.models.quantize import calibrate, quantize_params
+
+        files = sorted(globlib.glob(args.calib_images))
+        if not files:
+            p.error("--quantize int8 needs --calib_images matching >=1 file")
+
+        def calib_batches():
+            for fp in files[:16]:
+                pil = Image.open(fp).convert("RGB")
+                if pil.size != (w, h):
+                    pil = pil.resize((w, h), Image.BICUBIC)
+                # serving contract is raw uint8 in; calibrate() applies the
+                # same in-graph normalization the artifact will
+                yield np.asarray(pil, np.uint8)[None]
+
+        quant_amax = calibrate(params, frozen, cfg, calib_batches())
+        params = quantize_params(params, quant_amax)
+        print(f"int8 PTQ: calibrated {len(quant_amax)} conv sites on "
+              f"{min(len(files), 16)} images; backbone convs now int8")
     embedded = "float32"
     if args.embed_dtype == "compute" and args.compute_dtype == "bfloat16":
         params, frozen = embed_cast(params, jnp.bfloat16), embed_cast(
@@ -260,6 +308,10 @@ def main(argv=None):
         "flip": args.flip,
         "platforms": list(exp.platforms),
         "sp": args.sp,
+        "quantize": args.quantize,
+        # per-site activation amax: lets --selftest (and any auditor)
+        # reproduce the embedded int8 weights/scales from the fp checkpoint
+        **({"calib_amax": quant_amax} if quant_amax is not None else {}),
         "consume": (
             "jax.export.deserialize(blob).call(uint8_batch)" if args.sp <= 1
             else f"needs {args.sp} devices: mesh=Mesh(devices[:{args.sp}]"

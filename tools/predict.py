@@ -103,6 +103,30 @@ def main(argv=None):
 
     params, frozen = load_inference_params(cfg)
 
+    paths = default_paths(args.data_root_path)[cfg.dataset]
+    list_path = args.list_path or paths["val"]
+    with open(list_path) as f:
+        items = [ln.split()[0] for ln in f if ln.strip()]
+
+    if cfg.quantize == "int8":
+        # post-training int8: calibrate activation ranges on the first
+        # --calib_batches images of the run itself (batch-1, the exact
+        # transform path the predictions use), then swap in the drop-in
+        # int8 backbone tree (models/quantize.py)
+        from maxsquareloss_tpu.models.quantize import calibrate, quantize_params
+
+        def calib_batches():
+            for rel in items[: max(1, cfg.calib_batches)]:
+                pil = Image.open(os.path.join(paths["root"], rel)).convert("RGB")
+                if pil.size != tuple(cfg.base_size):
+                    pil = pil.resize(cfg.base_size, Image.BICUBIC)
+                yield img_transform(pil, cfg.numpy_transform)[None]
+
+        amax = calibrate(params, frozen, cfg, calib_batches())
+        params = quantize_params(params, amax)
+        logger.info(f"int8 PTQ: calibrated {len(amax)} conv sites; "
+                    "backbone convs now int8 (heads stay fp)")
+
     # Spatial partitioning (--sp N): predict runs batch-1, so DP has
     # nothing to shard — instead shard the image HEIGHT over a pure-SP
     # (1, sp) mesh's 'space' axis (GSPMD conv halo exchanges;
@@ -121,11 +145,6 @@ def main(argv=None):
         mesh = make_mesh(data_parallel=False, sp=cfg.sp)
         params = replicate_tree(mesh, params)
         frozen = replicate_tree(mesh, frozen)
-
-    paths = default_paths(args.data_root_path)[cfg.dataset]
-    list_path = args.list_path or paths["val"]
-    with open(list_path) as f:
-        items = [ln.split()[0] for ln in f if ln.strip()]
 
     scales = tuple(float(s) for s in args.scales.split(","))
     steps: dict[tuple[int, int], object] = {}  # one jit per output size
