@@ -113,7 +113,7 @@ class TrainConfig:
     # faster AND memory-bounded at full res, BASELINE.md); 0 = explicit off.
     eval_h_chunk: int = -1
     # post-training quantization for eval/predict/serving: '' (off) or
-    # 'int8' — backbone convs run int8 on the MXU (1.37-2.19x bf16 conv
+    # 'int8' — backbone convs run int8 on the MXU (1.6-2.2x bf16 conv
     # throughput on v5e), classifier heads stay fp; activations calibrated
     # on the first calib_batches eval batches (models/quantize.py).
     # Training paths ignore this (the optimizer owns fp32 masters).

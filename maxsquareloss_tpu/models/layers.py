@@ -71,7 +71,7 @@ def qconv2d(
     compute dtype. Quant/dequant math runs in f32 (scale application error
     stays at 1-ulp instead of bf16's ~0.4%); zero maps to 0 exactly, so
     XLA's zero padding is exact through quantization. v5e executes int8
-    convs at 1.37-2.19x bf16 MXU throughput (experiments/bench_int8.py)."""
+    convs at 1.6-2.2x bf16 MXU throughput (experiments/bench_int8.py)."""
     xq = jnp.clip(
         jnp.round(x.astype(jnp.float32) * site["ascale_inv"]), -127.0, 127.0
     ).astype(jnp.int8)

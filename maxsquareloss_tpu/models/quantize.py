@@ -1,7 +1,7 @@
 """Post-training int8 quantization of the backbone convs (eval/serving).
 
 A beyond-parity serving optimization the reference (pure-fp32 torch) does
-not have: v5e's MXU executes int8 convs at **1.37-2.19x** bf16 throughput
+not have: v5e's MXU executes int8 convs at **1.6-2.2x** bf16 throughput
 (394 TOPS vs 197 TFLOPs peak; measured per-shape in
 ``experiments/bench_int8.py`` via the chain-marginal protocol), so
 quantizing the FLOP-dominant ResNet-101 backbone raises the inference
