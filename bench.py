@@ -9,7 +9,9 @@ step (source CE + IW max-square target + self-produced guidance) at
 ``value`` is the bf16 headline; the default UDA run ALSO measures the fp32
 parity configuration (batch 8 + stage remat) and reports both as
 ``value_bf16`` / ``value_fp32_parity`` so the JSON self-describes the
-dtype split (VERDICT r2 #6).
+dtype split (VERDICT r2 #6), plus single-scale inference in the compute
+dtype (``value_infer_bf16``) and with post-training int8 backbone convs
+(``value_infer_int8`` — models/quantize.py, the serving fast path).
 
 ``vs_baseline`` divides by the A100 torch comparator documented in
 BASELINE.md (the reference publishes no throughput numbers). The comparator
@@ -292,6 +294,13 @@ def main():
         extra["value_infer_bf16" if args.dtype == "bfloat16"
               else "value_infer_fp32"] = round(infer_val, 3)
         extra["infer_step_ms"] = round(infer_ms, 1)
+        # the int8 PTQ serving leg (--quantize int8, models/quantize.py):
+        # same protocol, backbone convs on the MXU int8 path
+        qargs = copy.copy(iargs)
+        qargs.quantize = "int8"
+        q_val, q_ms, _ = measure_step_rate(qargs, args.dtype, "", args.batch)
+        extra["value_infer_int8"] = round(q_val, 3)
+        extra["infer_int8_step_ms"] = round(q_ms, 1)
         # the embedded leg inherits the CLI's eval-protocol flags — record
         # them so a non-default protocol is visible in the artifact
         extra["infer_scales"] = args.scales
