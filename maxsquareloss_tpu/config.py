@@ -124,8 +124,10 @@ class TrainConfig:
     # graceful preemption: on SIGTERM, finish the in-flight step, write a
     # mid-epoch checkpoint (carrying the exact batch offset) and exit 0, so
     # --continue_training resumes the preempted run bitwise (§5.3). In
-    # multi-host runs the stop decision is allgather-synced per step so
-    # every process checkpoints the same iteration.
+    # multi-host runs the stop decision is allgather-synced every
+    # PREEMPT_SYNC_STEPS lockstep iterations (not per step — the flag
+    # exchange is a DCN collective) so every process checkpoints the
+    # same iteration.
     preempt_save: bool = True
 
     # persistent XLA compilation cache: 'auto' = $XDG_CACHE_HOME/

@@ -258,18 +258,27 @@ class Trainer:
             # from a worker thread (tests, embedding apps) just skips this
             return None
 
-    def _preempt_now(self) -> bool:
+    # multi-host preemption poll interval: the flag allgather is a host-
+    # blocking DCN collective, so it must NOT run every step — every
+    # PREEMPT_SYNC_STEPS-th global iteration is lockstep across processes
+    # (all call it at the same `it`), and at ~0.3 s/step the added exit
+    # latency stays a few seconds, far inside any preemption grace period.
+    PREEMPT_SYNC_STEPS = 10
+
+    def _preempt_now(self, it: int) -> bool:
         """Synced preemption decision, called once per train step.
 
         Multi-host: a checkpoint save is a collective, so every process must
         stop at the SAME iteration even though preemption SIGTERMs land at
-        different times on different hosts — a tiny per-step allgather of
-        the local flag keeps the decision in lockstep (every process calls
-        this exactly once per step, and steps run in lockstep)."""
+        different times on different hosts — an allgather of the local flag
+        every PREEMPT_SYNC_STEPS keeps the decision in lockstep (``it`` is
+        the global iteration, identical on every process)."""
         if not self.cfg.preempt_save:
             return False
         if jax.process_count() == 1:
             return self._preempt_requested
+        if it % self.PREEMPT_SYNC_STEPS != 0:
+            return False
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(
@@ -379,7 +388,7 @@ class Trainer:
                 # periodic mid-epoch checkpoint (preemption resilience,
                 # SURVEY.md §5.3 rebuild plan)
                 self.save_checkpoint(mid_epoch=True)
-            if self._preempt_now():
+            if self._preempt_now(it):
                 self.preempted = True
                 break
             if it >= cfg.effective_iter_stop():

@@ -146,6 +146,45 @@ def test_eval_batch_size_applies_to_val_loaders_only(tmp_path):
     ).batch_size == 8
 
 
+def test_loader_rejects_batch_not_divisible_by_mesh(tmp_path):
+    """A batch that cannot shard over the data-parallel axis must fail at
+    loader construction with an actionable message — not as a sharding
+    error from the first device_put mid-epoch (round-4 verify finding:
+    the config default batch 4 on the 8-device mesh)."""
+    import numpy as np
+    import pytest
+    from PIL import Image
+
+    from tools.common import make_loader
+
+    root = tmp_path / "data"
+    rel = "leftImg8bit/val/x/x_000000_leftImg8bit.png"
+    lrel = rel.replace("leftImg8bit", "gtFine", 1).replace(
+        "_leftImg8bit.png", "_gtFine_labelIds.png"
+    )
+    (root / rel).parent.mkdir(parents=True)
+    (root / lrel).parent.mkdir(parents=True)
+    Image.fromarray(np.zeros((16, 32, 3), np.uint8)).save(root / rel)
+    Image.fromarray(np.zeros((16, 32), np.uint8)).save(root / lrel)
+    (root / "val.txt").write_text(rel)
+
+    cfg = config_from_args(_parse([
+        "--checkpoint_dir", str(tmp_path / "run"), "--batch_size", "4",
+        "--base_size", "32,16", "--crop_size", "32,16",
+    ]))
+    with pytest.raises(ValueError, match="data-parallel axis"):
+        make_loader(cfg, "cityscapes", str(root), str(root / "val.txt"), "val")
+    # --data_parallel false lifts the constraint (single-device run)
+    cfg1 = config_from_args(_parse([
+        "--checkpoint_dir", str(tmp_path / "r1"), "--batch_size", "4",
+        "--data_parallel", "false",
+        "--base_size", "32,16", "--crop_size", "32,16",
+    ]))
+    assert make_loader(
+        cfg1, "cityscapes", str(root), str(root / "val.txt"), "val"
+    ).batch_size == 4
+
+
 def test_xla_options_flag(tmp_path, monkeypatch):
     args = _parse(["--checkpoint_dir", str(tmp_path),
                    "--xla_options", "xla_tpu_scoped_vmem_limit_kib=16384"])

@@ -212,6 +212,32 @@ def test_sigterm_preempt_checkpoints_and_resumes_bitwise(tmp_path):
         assert resumed[it] == truth[it], f"iter {it} diverged"
 
 
+def test_preempt_poll_throttled_on_multihost(tmp_path, monkeypatch):
+    """Multi-host preemption polling: the flag allgather is a host-blocking
+    DCN collective, so it must run only on every PREEMPT_SYNC_STEPS-th
+    (lockstep) global iteration — never per step — and a remotely-raised
+    flag must still win on the next sync step."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    cfg = _cfg(tmp_path, epoch_num=1)
+    tr = Trainer(cfg, _loader(), None)
+    calls = []
+
+    def fake_allgather(x):
+        calls.append(int(x))
+        return np.array([int(x), 1])  # the OTHER process requested preempt
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+
+    sync = Trainer.PREEMPT_SYNC_STEPS
+    assert not tr._preempt_now(sync + 3)  # off-interval: no collective
+    assert calls == []
+    assert tr._preempt_now(2 * sync)  # on-interval: collective, remote flag wins
+    assert calls == [0]
+
+
 def test_preempt_save_false_keeps_default_sigterm(tmp_path):
     """--preempt_save false: the trainer must not install any handler."""
     import signal as _signal

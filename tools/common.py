@@ -100,6 +100,19 @@ def make_loader(
         raise ValueError(
             f"global batch {batch} not divisible by {procs} processes"
         )
+    if cfg.data_parallel:
+        # fail BEFORE compile with an actionable message — otherwise the
+        # first sharded device_put raises a sharding error mid-epoch
+        dp = jax.local_device_count() // max(1, cfg.sp)
+        if (batch // procs) % max(1, dp) != 0:
+            which = ("--eval_batch_size" if split != "train"
+                     and cfg.eval_batch_size else "--batch_size")
+            raise ValueError(
+                f"per-process batch {batch // procs} not divisible by the "
+                f"{dp}-way data-parallel axis ({jax.local_device_count()} "
+                f"local devices / sp={max(1, cfg.sp)}); raise {which} to a "
+                f"multiple of {dp * procs} or pass --data_parallel false"
+            )
     if cfg.loader == "grain":
         from maxsquareloss_tpu.data.grain_pipeline import GrainSegLoader
 
