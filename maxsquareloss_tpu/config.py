@@ -326,5 +326,19 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
                     f"--sp {cfg.sp} must divide the image height: "
                     f"{name} H = {wh[1]}"
                 )
+        if cfg.quantize:
+            # XLA's spatial partitioner (GSPMD) mistypes the zero constant
+            # it pads s8 conv-input halos with ("element types of the
+            # operands to Pad do not match", jax 0.9.0) — not workaroundable
+            # from user code (explicit s8/f32 pads + VALID convs still hit
+            # the halo-alignment pad it inserts itself). Fail fast with the
+            # honest reason instead of an HLO verifier error mid-eval.
+            raise ValueError(
+                f"--quantize {cfg.quantize} does not compose with --sp "
+                f"{cfg.sp}: XLA's GSPMD partitioner cannot pad int8 conv "
+                "halos in this version. Use --sp for fp serving, or int8 "
+                "with data parallelism (--quantize composes with "
+                "--data_parallel / multi-host)."
+            )
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     return cfg

@@ -146,6 +146,27 @@ def test_eval_batch_size_applies_to_val_loaders_only(tmp_path):
     ).batch_size == 8
 
 
+def test_quantize_gated_against_sp(tmp_path):
+    """--quantize int8 + --sp is rejected up front: XLA's GSPMD partitioner
+    mistypes the zero constant it pads s8 conv-input halos with ("element
+    types of the operands to Pad do not match", jax 0.9.0), and no pad
+    placement from user code avoids its own halo-alignment pads. Composing
+    int8 with DP / multi-host works (batch sharding needs no halos)."""
+    import pytest
+
+    with pytest.raises(ValueError, match="does not compose with --sp"):
+        config_from_args(_parse([
+            "--checkpoint_dir", str(tmp_path), "--quantize", "int8",
+            "--sp", "4",
+        ]))
+    # sp alone and quantize alone both still configure fine
+    assert config_from_args(_parse([
+        "--checkpoint_dir", str(tmp_path), "--sp", "4"])).sp == 4
+    assert config_from_args(_parse([
+        "--checkpoint_dir", str(tmp_path), "--quantize", "int8",
+    ])).quantize == "int8"
+
+
 def test_loader_rejects_batch_not_divisible_by_mesh(tmp_path):
     """A batch that cannot shard over the data-parallel axis must fail at
     loader construction with an actionable message — not as a sharding

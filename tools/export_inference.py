@@ -272,6 +272,12 @@ def main(argv=None):
         # the single-device graph — tests/test_export_inference.py)
         if h % args.sp:
             p.error(f"--sp {args.sp} must divide the input height {h}")
+        if args.quantize:
+            # same gate as config_from_args: GSPMD cannot pad int8 conv
+            # halos in this XLA version (mistyped Pad constant)
+            p.error(f"--quantize {args.quantize} does not compose with "
+                    "--sp: XLA's GSPMD partitioner cannot pad int8 conv "
+                    "halos in this version")
         from maxsquareloss_tpu.parallel.mesh import batch_sharding, make_mesh
 
         mesh = make_mesh(data_parallel=False, sp=args.sp)
