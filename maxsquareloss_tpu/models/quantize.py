@@ -170,7 +170,7 @@ def quantize_from_loader(cfg, params: Params, frozen: Params, loader,
                 return
             yield np.asarray(xs)
 
-    amax = calibrate(params, frozen, cfg, batches())
+    amax = sync_amax_across_processes(calibrate(params, frozen, cfg, batches()))
     if logger is not None:
         logger.info(
             f"int8 PTQ: calibrated {len(amax)} conv sites over "
@@ -178,3 +178,26 @@ def quantize_from_loader(cfg, params: Params, frozen: Params, loader,
             "int8 (heads stay fp)"
         )
     return quantize_params(params, amax)
+
+
+def sync_amax_across_processes(amax: dict[str, float]) -> dict[str, float]:
+    """Elementwise max of per-site calibration amax across all processes.
+
+    Multi-host loaders are sharded, so each process calibrates on
+    DIFFERENT batches; without this sync every process would build a
+    different int8 tree — and "replicated" params that silently disagree
+    across hosts. The site order is the model structure, identical on
+    every process, so a vector allgather + max keeps the quantized tree
+    byte-identical everywhere.
+    """
+    import jax
+
+    if jax.process_count() == 1:
+        return amax
+    from jax.experimental import multihost_utils
+
+    keys = sorted(amax)
+    vec = np.asarray([amax[k] for k in keys], np.float32)
+    gathered = multihost_utils.process_allgather(vec)  # (procs, sites)
+    synced = np.max(np.asarray(gathered).reshape(-1, len(keys)), axis=0)
+    return {k: float(v) for k, v in zip(keys, synced)}

@@ -157,3 +157,32 @@ def test_quantize_from_loader_glue(rng):
     qp = quantize_from_loader(cfg, params, frozen, FakeLoader())
     assert qp["conv1"]["w"].dtype == jnp.int8
     assert seen == [0, 1]  # only calib_batches batches consumed
+
+
+def test_amax_sync_across_processes(monkeypatch):
+    """Multi-host calibration: loader shards differ per process, so the
+    per-site amax must be allgather-maxed — otherwise every process builds
+    a DIFFERENT int8 tree and 'replicated' params silently disagree across
+    hosts. Single-process is a pass-through (no collective)."""
+    from jax.experimental import multihost_utils
+
+    from maxsquareloss_tpu.models.quantize import sync_amax_across_processes
+
+    local = {"conv1": 1.0, "layer1.0.conv2": 3.0}
+    assert sync_amax_across_processes(local) == local  # 1 process: untouched
+
+    calls = []
+
+    def fake_allgather(vec):
+        calls.append(np.asarray(vec))
+        # the other process saw larger conv1, smaller layer1.0.conv2
+        other = {"conv1": 2.5, "layer1.0.conv2": 0.5}
+        return np.stack([np.asarray(vec),
+                         np.asarray([other[k] for k in sorted(local)],
+                                    np.float32)])
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    synced = sync_amax_across_processes(local)
+    assert len(calls) == 1
+    assert synced == {"conv1": 2.5, "layer1.0.conv2": 3.0}
