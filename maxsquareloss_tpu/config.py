@@ -215,6 +215,11 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--compute_dtype", default="float32",
                    choices=("float32", "bfloat16"))
     p.add_argument("--remat", default="", choices=("", "stages"))
+    p.add_argument("--concat_batches", type=str2bool, default=False,
+                   help="UDA: one concatenated src+tgt forward (exact even "
+                        "at unequal crops via the masked-canvas path)")
+    p.add_argument("--tqdm", type=str2bool, default=True,
+                   help="progress bars (disable for clean batch logs)")
     p.add_argument("--xla_options", default="auto",
                    help="XLA compiler options for the jitted steps: 'auto' "
                         "(measured-best on TPU), '' (none), or 'k=v,k=v'")

@@ -146,6 +146,27 @@ def test_eval_batch_size_applies_to_val_loaders_only(tmp_path):
     ).batch_size == 8
 
 
+def test_every_config_field_is_cli_reachable():
+    """Every TrainConfig field must be settable from the CLI (directly as
+    --<field>, or via a documented alias) — README advertises the config
+    surface as flags, and a field that silently loses its flag regresses
+    users (round-4 find: --concat_batches was documented but unregistered)."""
+    import argparse
+    import dataclasses
+
+    from maxsquareloss_tpu.config import add_train_args, add_uda_train_args
+
+    p = add_uda_train_args(add_train_args(argparse.ArgumentParser()))
+    flags = {s[2:] for a in p._actions for s in a.option_strings
+             if s.startswith("--")}
+    aliases = {"ratio": "IW_ratio"}  # reference flag name kept for parity
+    missing = [
+        f.name for f in dataclasses.fields(TrainConfig)
+        if f.name not in flags and aliases.get(f.name) not in flags
+    ]
+    assert not missing, f"TrainConfig fields with no CLI flag: {missing}"
+
+
 def test_quantize_gated_against_sp(tmp_path):
     """--quantize int8 + --sp is rejected up front: XLA's GSPMD partitioner
     mistypes the zero constant it pads s8 conv-input halos with ("element
