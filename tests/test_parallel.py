@@ -208,3 +208,33 @@ def test_uda_dp_step_runs_sharded(rng):
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
 
+
+
+def test_quantized_eval_cm_equals_single_device_under_dp(rng):
+    """int8 x DP (the supported int8 composition — SP is gated): the
+    8-device batch-sharded eval CM on a QUANTIZED params tree must equal
+    the 1-device quantized CM exactly. The int8 conv core is integer math
+    and the dequant scales are replicated constants, so batch sharding
+    regroups the same per-pixel one-hot addends."""
+    from maxsquareloss_tpu.models.quantize import calibrate, quantize_params
+    from maxsquareloss_tpu.train.steps import make_eval_step
+
+    cfg = _cfg()
+    params, frozen = init_deeplabv2(jax.random.key(0), model_config(cfg))
+    x = rng.normal(0, 1, (8, 32, 32, 3)).astype(np.float32)
+    y = rng.integers(-1, 19, (8, 64, 64)).astype(np.int32)
+
+    amax = calibrate(params, frozen, cfg, [x[:2]])
+    qp = quantize_params(params, amax)
+
+    cm1, arg1 = make_eval_step(cfg, frozen)(qp, jnp.asarray(x), jnp.asarray(y))
+
+    mesh = data_parallel_mesh()
+    qp_r = replicate_tree(mesh, qp)
+    frozen_r = replicate_tree(mesh, frozen)
+    bs = batch_sharding(mesh)
+    cm8, arg8 = make_eval_step(cfg, frozen_r)(
+        qp_r, jax.device_put(x, bs), jax.device_put(y, bs)
+    )
+    np.testing.assert_array_equal(np.asarray(cm8), np.asarray(cm1))
+    np.testing.assert_array_equal(np.asarray(arg8), np.asarray(arg1))
