@@ -127,8 +127,13 @@ class TrainConfig:
     # multi-host runs the stop decision is allgather-synced every
     # PREEMPT_SYNC_STEPS lockstep iterations (not per step — the flag
     # exchange is a DCN collective) so every process checkpoints the
-    # same iteration.
+    # same iteration. preempt_sync_steps trades poll cost for exit
+    # latency: worst-case delay before the checkpoint starts is
+    # preempt_sync_steps x step_time — lower it when steps are slow
+    # (full-res / large batch) and the preemption grace window is short
+    # (e.g. 30 s on GCE preemptible).
     preempt_save: bool = True
+    preempt_sync_steps: int = 10
 
     # persistent XLA compilation cache: 'auto' = $XDG_CACHE_HOME/
     # maxsquareloss_tpu/xla (removes the repeated compile cost across CLI
@@ -246,6 +251,10 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
     p.add_argument("--preempt_save", type=str2bool, default=True,
                    help="on SIGTERM: checkpoint at the next step boundary "
                         "and exit cleanly (resume with --continue_training)")
+    p.add_argument("--preempt_sync_steps", type=int, default=10,
+                   help="multi-host: poll the preemption flag (a DCN "
+                        "allgather) every N lockstep iterations; lower for "
+                        "slow steps + short grace windows")
     p.add_argument("--compilation_cache_dir", default="auto",
                    help="persistent XLA compilation cache: 'auto' "
                         "(~/.cache/maxsquareloss_tpu/xla), '' to disable, "

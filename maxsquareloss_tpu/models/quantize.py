@@ -170,7 +170,18 @@ def quantize_from_loader(cfg, params: Params, frozen: Params, loader,
                 return
             yield np.asarray(xs)
 
-    amax = sync_amax_across_processes(calibrate(params, frozen, cfg, batches()))
+    try:
+        amax = calibrate(params, frozen, cfg, batches())
+    except ValueError:
+        if jax.process_count() == 1:
+            raise  # single process: fail loudly, nothing to sync
+        # multi-host: a shard can legitimately be empty (val list smaller
+        # than the process count). Do NOT raise here — every process must
+        # still reach the allgather below or the siblings hang in the
+        # collective; contribute a zero vector instead and let the synced
+        # result decide.
+        amax = {}
+    amax = sync_amax_across_processes(amax, params)
     if logger is not None:
         logger.info(
             f"int8 PTQ: calibrated {len(amax)} conv sites over "
@@ -180,24 +191,40 @@ def quantize_from_loader(cfg, params: Params, frozen: Params, loader,
     return quantize_params(params, amax)
 
 
-def sync_amax_across_processes(amax: dict[str, float]) -> dict[str, float]:
+def sync_amax_across_processes(
+    amax: dict[str, float], params: Params | None = None
+) -> dict[str, float]:
     """Elementwise max of per-site calibration amax across all processes.
 
     Multi-host loaders are sharded, so each process calibrates on
     DIFFERENT batches; without this sync every process would build a
     different int8 tree — and "replicated" params that silently disagree
-    across hosts. The site order is the model structure, identical on
-    every process, so a vector allgather + max keeps the quantized tree
-    byte-identical everywhere.
-    """
-    import jax
+    across hosts. The site order comes from the model structure
+    (``params``; identical on every process — falls back to the local
+    amax keys when params is not given), so a vector allgather + max
+    keeps the quantized tree byte-identical everywhere.
 
+    Hang-safety: EVERY process must call this exactly once, even one whose
+    loader shard yielded no batches (pass its ``amax`` as ``{}``) — the
+    collective is unconditional, and a leading had-batches flag lets all
+    processes raise the SAME error together when no process calibrated.
+    """
     if jax.process_count() == 1:
+        if not amax:
+            raise ValueError("no calibration batches on any process")
         return amax
     from jax.experimental import multihost_utils
 
-    keys = sorted(amax)
-    vec = np.asarray([amax[k] for k in keys], np.float32)
-    gathered = multihost_utils.process_allgather(vec)  # (procs, sites)
-    synced = np.max(np.asarray(gathered).reshape(-1, len(keys)), axis=0)
+    keys = (sorted(amax) if params is None
+            else [path for path, _ in iter_conv_sites(params)])
+    # leading flag = this process calibrated; empty shards contribute 0s
+    # (neutral under max since amax >= 0)
+    vec = np.asarray(
+        [float(bool(amax))] + [amax.get(k, 0.0) for k in keys], np.float32
+    )
+    gathered = multihost_utils.process_allgather(vec)  # (procs, 1+sites)
+    g = np.asarray(gathered).reshape(-1, 1 + len(keys))
+    if not g[:, 0].any():
+        raise ValueError("no calibration batches on any process")
+    synced = np.max(g[:, 1:], axis=0)
     return {k: float(v) for k, v in zip(keys, synced)}

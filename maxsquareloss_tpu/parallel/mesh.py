@@ -54,6 +54,23 @@ def data_parallel_mesh(devices=None, sp: int = 1) -> Mesh:
     return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
 
+def local_data_axis_size(data_parallel: bool, sp: int = 1) -> int:
+    """How many ways THIS process's batch shard splits across its local
+    devices — the one source of truth for batch-divisibility checks
+    (tools/common.make_loader) so they cannot drift from the mesh geometry
+    above. Raises the same error data_parallel_mesh would, but before any
+    loader/compile work."""
+    if not data_parallel:
+        return 1
+    n = jax.local_device_count()
+    sp = max(1, sp)
+    if n % sp:
+        raise ValueError(
+            f"--sp {sp} does not divide the local device count {n}"
+        )
+    return n // sp
+
+
 def make_mesh(data_parallel: bool = True, sp: int = 1) -> Mesh | None:
     """Mesh (or None) from the CLI parallelism flags.
 

@@ -258,26 +258,22 @@ class Trainer:
             # from a worker thread (tests, embedding apps) just skips this
             return None
 
-    # multi-host preemption poll interval: the flag allgather is a host-
-    # blocking DCN collective, so it must NOT run every step — every
-    # PREEMPT_SYNC_STEPS-th global iteration is lockstep across processes
-    # (all call it at the same `it`), and at ~0.3 s/step the added exit
-    # latency stays a few seconds, far inside any preemption grace period.
-    PREEMPT_SYNC_STEPS = 10
-
     def _preempt_now(self, it: int) -> bool:
         """Synced preemption decision, called once per train step.
 
         Multi-host: a checkpoint save is a collective, so every process must
         stop at the SAME iteration even though preemption SIGTERMs land at
         different times on different hosts — an allgather of the local flag
-        every PREEMPT_SYNC_STEPS keeps the decision in lockstep (``it`` is
-        the global iteration, identical on every process)."""
+        every ``cfg.preempt_sync_steps`` lockstep iterations keeps the
+        decision in lockstep (``it`` is the global iteration, identical on
+        every process) without paying a DCN collective per step. Worst-case
+        exit latency is preempt_sync_steps x step_time — the flag exists so
+        slow-step runs under short grace windows can lower it."""
         if not self.cfg.preempt_save:
             return False
         if jax.process_count() == 1:
             return self._preempt_requested
-        if it % self.PREEMPT_SYNC_STEPS != 0:
+        if it % max(1, self.cfg.preempt_sync_steps) != 0:
             return False
         from jax.experimental import multihost_utils
 

@@ -175,14 +175,51 @@ def test_amax_sync_across_processes(monkeypatch):
 
     def fake_allgather(vec):
         calls.append(np.asarray(vec))
-        # the other process saw larger conv1, smaller layer1.0.conv2
+        # the other process saw larger conv1, smaller layer1.0.conv2;
+        # element 0 is its had-batches flag
         other = {"conv1": 2.5, "layer1.0.conv2": 0.5}
         return np.stack([np.asarray(vec),
-                         np.asarray([other[k] for k in sorted(local)],
+                         np.asarray([1.0] + [other[k] for k in sorted(local)],
                                     np.float32)])
 
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
     synced = sync_amax_across_processes(local)
     assert len(calls) == 1
+    # vec[0] is the had-batches flag (hang-safety for empty shards)
+    assert calls[0][0] == 1.0
     assert synced == {"conv1": 2.5, "layer1.0.conv2": 3.0}
+
+
+def test_amax_sync_empty_shard_is_hang_safe(monkeypatch):
+    """A process whose val shard yields no batches must still reach the
+    allgather (contributing zeros + a had-batches=0 flag) so siblings do
+    not block forever in the collective; when NO process calibrated, all
+    raise the same error together."""
+    from jax.experimental import multihost_utils
+
+    from maxsquareloss_tpu.models.quantize import sync_amax_across_processes
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    # sibling calibrated: the empty process adopts the synced amax
+    def sibling_has_batches(vec):
+        v = np.asarray(vec)
+        other = np.concatenate([[1.0], np.full(len(v) - 1, 7.0, np.float32)])
+        return np.stack([v, other])
+
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        sibling_has_batches)
+    cfg, mcfg, params, frozen = small_model()
+    synced = sync_amax_across_processes({}, params)
+    from maxsquareloss_tpu.models.quantize import iter_conv_sites
+    assert set(synced) == {p for p, _ in iter_conv_sites(params)}
+    assert all(v == 7.0 for v in synced.values())
+
+    # nobody calibrated: a clean, collective-synchronized error
+    monkeypatch.setattr(
+        multihost_utils, "process_allgather",
+        lambda vec: np.stack([np.asarray(vec), np.asarray(vec)]),
+    )
+    with pytest.raises(ValueError, match="no calibration batches"):
+        sync_amax_across_processes({}, params)

@@ -231,7 +231,8 @@ def test_preempt_poll_throttled_on_multihost(tmp_path, monkeypatch):
     monkeypatch.setattr(jax, "process_count", lambda: 2)
     monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
 
-    sync = Trainer.PREEMPT_SYNC_STEPS
+    sync = cfg.preempt_sync_steps
+    assert sync == 10  # default; --preempt_sync_steps tunes exit latency
     assert not tr._preempt_now(sync + 3)  # off-interval: no collective
     assert calls == []
     assert tr._preempt_now(2 * sync)  # on-interval: collective, remote flag wins

@@ -103,8 +103,10 @@ def make_loader(
     if cfg.data_parallel:
         # fail BEFORE compile with an actionable message — otherwise the
         # first sharded device_put raises a sharding error mid-epoch
-        dp = jax.local_device_count() // max(1, cfg.sp)
-        if (batch // procs) % max(1, dp) != 0:
+        from maxsquareloss_tpu.parallel.mesh import local_data_axis_size
+
+        dp = local_data_axis_size(True, cfg.sp)
+        if (batch // procs) % dp != 0:
             which = ("--eval_batch_size" if split != "train"
                      and cfg.eval_batch_size else "--batch_size")
             raise ValueError(

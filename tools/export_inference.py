@@ -150,6 +150,15 @@ def main(argv=None):
                         "with the matching sharding (see sidecar). 1 = off")
     args = p.parse_args(argv)
 
+    if args.sp > 1 and args.quantize:
+        # reject UP FRONT (same gate as config_from_args), before the
+        # checkpoint load and the minutes-long calibration pass: GSPMD
+        # cannot pad int8 conv halos in this XLA version (mistyped Pad
+        # constant)
+        p.error(f"--quantize {args.quantize} does not compose with --sp: "
+                "XLA's GSPMD partitioner cannot pad int8 conv halos in "
+                "this version")
+
     from maxsquareloss_tpu.utils.runtime import setup_compilation_cache
 
     setup_compilation_cache("auto")
@@ -272,12 +281,6 @@ def main(argv=None):
         # the single-device graph — tests/test_export_inference.py)
         if h % args.sp:
             p.error(f"--sp {args.sp} must divide the input height {h}")
-        if args.quantize:
-            # same gate as config_from_args: GSPMD cannot pad int8 conv
-            # halos in this XLA version (mistyped Pad constant)
-            p.error(f"--quantize {args.quantize} does not compose with "
-                    "--sp: XLA's GSPMD partitioner cannot pad int8 conv "
-                    "halos in this version")
         from maxsquareloss_tpu.parallel.mesh import batch_sharding, make_mesh
 
         mesh = make_mesh(data_parallel=False, sp=args.sp)
