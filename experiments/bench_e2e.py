@@ -29,7 +29,12 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
+
+# allow direct invocation (python experiments/bench_e2e.py) like the other
+# experiments; bench.py --mode e2e imports run_e2e with the repo on the path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
