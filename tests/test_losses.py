@@ -120,7 +120,7 @@ def test_iw_max_square_matches_oracle(rng, with_label):
     )
     # torch oracle (SURVEY.md C10): weights from histc of label-or-argpred,
     # gathered by argpred, detached; loss = -sum(p^2 * w) / (N*C).
-    pt = torch.from_numpy(prob)
+    pt = torch.from_numpy(np.array(prob))  # copy: prob may be a read-only view
     argpred = pt.argmax(dim=-1).numpy().astype(np.int32)
     count_label = argpred if label is None else label
     wmat = _torch_iw_weights(count_label)  # (N, C)
