@@ -36,9 +36,10 @@ class TrainConfig:
     compute_dtype: str = "float32"     # 'float32' | 'bfloat16'
     remat: str = ""                    # '' | 'stages'
     # per-compile XLA:TPU options for the jitted steps. 'auto' applies the
-    # measured-best set on TPU backends (scoped VMEM 32M: +3.8% step
-    # throughput — BASELINE.md round-2b sweep) and nothing elsewhere;
-    # '' disables; 'k=v,k=v' sets explicit options.
+    # measured-best set on TPU backends (scoped VMEM 48M: +3.8% step
+    # throughput over the compiler default, +1.6-2% int8 inference over
+    # 32M — BASELINE.md round-2b sweep + late-round-4 re-sweep) and
+    # nothing elsewhere; '' disables; 'k=v,k=v' sets explicit options.
     xla_options: str = "auto"
     concat_batches: bool = False       # UDA: one concatenated fwd for src+tgt (frozen BN)
 

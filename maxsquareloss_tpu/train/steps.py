@@ -77,9 +77,14 @@ def model_config(cfg: TrainConfig, eval_mode: bool = False) -> DeepLabV2Config:
 def step_compiler_options(cfg: TrainConfig) -> dict[str, str] | None:
     """Per-compile XLA options for the jitted steps (cfg.xla_options).
 
-    'auto' applies the measured-best set on TPU backends (round-2b sweep,
-    BASELINE.md: scoped VMEM 32M gives +3.8% UDA-step throughput on v5e)
-    and nothing on CPU/GPU; '' disables; 'k=v,k=v' passes explicit options.
+    'auto' applies the measured-best set on TPU backends and nothing on
+    CPU/GPU; '' disables; 'k=v,k=v' passes explicit options. Scoped VMEM:
+    32M gave +3.8% UDA-step throughput over the compiler default (round-2b
+    sweep); the late-round-4 re-sweep found 48M equal to 32M on bf16
+    train/infer and fp32+remat (all within the ~0.7% same-session noise)
+    and +1.6-2% on int8 inference (smaller int8 working set -> deeper
+    scoped allocation pays), so 48M is the default (BASELINE.md "XLA
+    compiler options").
     """
     spec = cfg.xla_options
     if not spec:
@@ -87,7 +92,7 @@ def step_compiler_options(cfg: TrainConfig) -> dict[str, str] | None:
     if spec == "auto":
         if jax.default_backend() not in ("tpu", "axon"):
             return None
-        return {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+        return {"xla_tpu_scoped_vmem_limit_kib": "49152"}
     opts: dict[str, str] = {}
     for kv in spec.split(","):
         kv = kv.strip()

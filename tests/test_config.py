@@ -249,5 +249,5 @@ def test_xla_options_flag(tmp_path, monkeypatch):
     assert step_compiler_options(TrainConfig()) is None
     monkeypatch.setattr(steps.jax, "default_backend", lambda: "tpu")
     assert step_compiler_options(TrainConfig()) == {
-        "xla_tpu_scoped_vmem_limit_kib": "32768"
+        "xla_tpu_scoped_vmem_limit_kib": "49152"
     }
