@@ -48,7 +48,7 @@ def test_gradient_flows(rng):
     assert bool(jnp.all(jnp.isfinite(g)))
 
     # VJP parity vs torch autograd through the same resize.
-    xt = torch.from_numpy(np.asarray(x)).permute(0, 3, 1, 2).requires_grad_(True)
+    xt = torch.from_numpy(np.array(x)).permute(0, 3, 1, 2).requires_grad_(True)
     y = F.interpolate(xt, size=(33, 33), mode="bilinear", align_corners=True)
     (y**2).sum().backward()
     want = xt.grad.permute(0, 2, 3, 1).numpy()
