@@ -1,0 +1,231 @@
+"""int8 PTQ accuracy evidence at full model scale (VERDICT r4 weak #2).
+
+The +19-26% int8 inference throughput (BASELINE.md "Post-training int8")
+was measured thoroughly; its accuracy side was one tiny-CLI checkpoint.
+This harness measures, on a TRAINED full-scale checkpoint at protocol
+shapes, on the real chip:
+
+- fp-vs-int8 **argmax agreement** (% of pixels with identical predictions),
+- **mIoU delta** and **per-class IoU deltas** (19-class protocol),
+- **calibration robustness**: the above for calib_batches x calib_mode
+  combinations (amax vs percentile — models/quantize.py), plus the
+  dispersion of the per-site calibrated ranges across settings.
+
+Model under test: DeepLabV2-R101 trained through tools/train_source.py on
+the synthetic color->class dataset at protocol resolution (1024x512) — the
+only way to get REAL trained full-scale weights on this box (no datasets,
+no released .pth, zero egress). The eval split is in-domain, so fp mIoU is
+high and deltas are meaningful.
+
+Usage (see BASELINE.md "int8 accuracy at full scale" for the recorded run):
+  python experiments/int8_accuracy.py --prepare runs/int8acc  # data + train
+  python experiments/int8_accuracy.py --ckpt runs/int8acc/src/checkpoint_latest \
+      --data_root runs/int8acc/data --out runs/int8acc/report.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def prepare(base: str, a) -> None:
+    """Generate the protocol-resolution dataset and train R101 on it."""
+    from maxsquareloss_tpu.data.synthetic import write_domain_shift_pair
+
+    data = os.path.join(base, "data")
+    write_domain_shift_pair(
+        data, n_source=a.n_images, n_target_train=4, n_target_val=a.n_val,
+        hw=(a.h, a.w), patch=32, shift=(0.0, 0.0, 0.0), seed=a.seed,
+    )
+    cmd = [
+        sys.executable, os.path.join(REPO, "tools", "train_source.py"),
+        "--dataset", "gta5", "--data_root_path", data,
+        "--checkpoint_dir", os.path.join(base, "src"),
+        "--lr", "0.01", "--iter_max", str(a.train_iters),
+        "--iter_stop", str(a.train_iters), "--epoch_num", "1000000",
+        "--validation_epoch", "1000000", "--seed", str(a.seed),
+        "--blocks", a.blocks, "--batch_size", str(a.batch),
+        "--base_size", f"{a.w},{a.h}", "--crop_size", f"{a.w},{a.h}",
+        "--compute_dtype", a.compute_dtype, "--num_workers", "4",
+        "--gaussian_blur", "false", "--numpy_transform", "false",
+        "--tqdm", "false",
+    ]
+    print("+", " ".join(cmd), flush=True)
+    subprocess.run(cmd, check=True, cwd=REPO)
+
+
+def build_eval(cfg, frozen, mcfg):
+    import jax
+    import jax.numpy as jnp
+
+    from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2
+    from maxsquareloss_tpu.ops.resize import upsample_logits
+    from maxsquareloss_tpu.train.steps import _prepare_inputs
+
+    @jax.jit
+    def predict(params, x):
+        x, _ = _prepare_inputs(x, None, cfg)
+        _, main = apply_deeplabv2(params, frozen, x, mcfg)
+        main = upsample_logits(main, (x.shape[1], x.shape[2]))
+        return jnp.argmax(main, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser("int8_accuracy")
+    p.add_argument("--prepare", default="",
+                   help="generate dataset + train the checkpoint under this dir")
+    p.add_argument("--ckpt", default="")
+    p.add_argument("--data_root", default="")
+    p.add_argument("--blocks", default="3,4,23,3")
+    p.add_argument("--h", type=int, default=512)
+    p.add_argument("--w", type=int, default=1024)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--n_images", type=int, default=32)
+    p.add_argument("--n_val", type=int, default=16)
+    p.add_argument("--train_iters", type=int, default=250)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--compute_dtype", default="bfloat16")
+    p.add_argument("--calib_batches", default="1,4,16")
+    p.add_argument("--calib_modes", default="amax,p99.9")
+    p.add_argument("--out", default="")
+    a = p.parse_args(argv)
+
+    if a.prepare:
+        prepare(a.prepare, a)
+        if not a.ckpt:
+            a.ckpt = os.path.join(a.prepare, "src", "checkpoint_latest")
+            a.data_root = os.path.join(a.prepare, "data")
+    assert a.ckpt and a.data_root, "--ckpt and --data_root (or --prepare) required"
+
+    import jax
+
+    from maxsquareloss_tpu.config import TrainConfig
+    from maxsquareloss_tpu.metrics import Eval
+    from maxsquareloss_tpu.models.quantize import calibrate, quantize_params
+    from maxsquareloss_tpu.train.steps import model_config
+    from tools.common import default_paths, load_inference_params, make_loader
+
+    cfg = TrainConfig(
+        dataset="cityscapes",
+        blocks=tuple(int(v) for v in a.blocks.split(",")),
+        batch_size=a.batch, eval_batch_size=a.batch,
+        base_size=(a.w, a.h), crop_size=(a.w, a.h),
+        compute_dtype=a.compute_dtype, num_workers=4,
+        pretrained_ckpt_file=a.ckpt, data_parallel=False,
+        checkpoint_dir=os.path.join(a.prepare or os.path.dirname(a.ckpt), "eval"),
+    )
+    params, frozen = load_inference_params(cfg)
+    mcfg = model_config(cfg, eval_mode=True)
+    paths = default_paths(a.data_root)["cityscapes"]
+    loader = make_loader(cfg, "cityscapes", paths["root"], paths["val"], "val")
+    predict = build_eval(cfg, frozen, mcfg)
+
+    def calib_arrays(n: int) -> list[np.ndarray]:
+        out, it = [], iter(make_loader(
+            cfg, "cityscapes", paths["root"], paths["val"], "val"))
+        for _ in range(n):
+            try:
+                xs, _, _ = next(it)
+            except StopIteration:
+                break
+            out.append(np.asarray(xs))
+        return out
+
+    # fp reference pass: predictions kept on host for agreement scoring
+    ev_fp = Eval(19)
+    fp_preds, labels = [], []
+    t0 = time.time()
+    for xs, ys, _ in loader:
+        pred = np.asarray(predict(params, xs))
+        y = np.asarray(ys)
+        ev_fp.add_batch(y, pred)
+        fp_preds.append(pred)
+        labels.append(y)
+    fp_miou = ev_fp.Mean_Intersection_over_Union()
+    fp_iou = ev_fp._iou_per_class()
+    print(f"fp ({a.compute_dtype}): mIoU {fp_miou:.4f}  "
+          f"[{time.time() - t0:.0f}s]", flush=True)
+
+    report = {
+        "config": vars(a),
+        "fp": {"miou": fp_miou, "iou_per_class": fp_iou.tolist()},
+        "variants": {},
+    }
+    max_calib = max(int(v) for v in a.calib_batches.split(","))
+    arrays = calib_arrays(max_calib)
+    for mode in a.calib_modes.split(","):
+        for nb in (int(v) for v in a.calib_batches.split(",")):
+            tag = f"{mode}/calib{nb}"
+            t0 = time.time()
+            amax = calibrate(params, frozen, cfg, arrays[:nb], mcfg=mcfg,
+                             mode=mode)
+            qparams = quantize_params(params, amax)
+            ev_q = Eval(19)
+            agree = tot = 0
+            for i, (xs, ys, _) in enumerate(make_loader(
+                    cfg, "cityscapes", paths["root"], paths["val"], "val")):
+                pred = np.asarray(predict(qparams, xs))
+                ev_q.add_batch(np.asarray(ys), pred)
+                agree += int((pred == fp_preds[i]).sum())
+                tot += pred.size
+            miou = ev_q.Mean_Intersection_over_Union()
+            iou = ev_q._iou_per_class()
+            d = iou - fp_iou
+            report["variants"][tag] = {
+                "miou": miou,
+                "miou_delta": miou - fp_miou,
+                "argmax_agreement": agree / tot,
+                "iou_delta_per_class": d.tolist(),
+                "worst_class_delta": float(np.nanmin(d)),
+                "amax": amax,
+            }
+            print(
+                f"int8 {tag}: mIoU {miou:.4f} (delta {miou - fp_miou:+.4f}), "
+                f"argmax agreement {agree / tot:.4%}, worst per-class IoU "
+                f"delta {np.nanmin(d):+.4f}  [{time.time() - t0:.0f}s]",
+                flush=True,
+            )
+
+    # calibrated-range dispersion across settings (per mode): how much the
+    # recorded scale of each site moves as calib_batches grows
+    for mode in a.calib_modes.split(","):
+        tags = [f"{mode}/calib{nb}" for nb in
+                (int(v) for v in a.calib_batches.split(","))]
+        tags = [t for t in tags if t in report["variants"]]
+        if len(tags) < 2:
+            continue
+        lo, hi = tags[0], tags[-1]
+        a_lo = report["variants"][lo]["amax"]
+        a_hi = report["variants"][hi]["amax"]
+        ratios = np.asarray([a_hi[k] / max(a_lo[k], 1e-12) for k in a_lo])
+        report.setdefault("dispersion", {})[mode] = {
+            "from": lo, "to": hi,
+            "max_site_ratio": float(ratios.max()),
+            "median_site_ratio": float(np.median(ratios)),
+        }
+        print(f"range dispersion {mode}: {lo} -> {hi} per-site ratio "
+              f"median {np.median(ratios):.3f}, max {ratios.max():.3f}",
+              flush=True)
+
+    report["device"] = str(jax.devices()[0])
+    if a.out:
+        os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+        with open(a.out, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {a.out}")
+
+
+if __name__ == "__main__":
+    main()

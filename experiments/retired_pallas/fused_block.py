@@ -1,11 +1,16 @@
 """Pallas TPU kernel: fused ResNet bottleneck block (identity residual).
 
-Motivation (BASELINE.md round-2 micro-benchmark): the dilated 3x3 convs of
-DeepLabV2's layer3/layer4 run at 76-96% MFU under XLA — dilation is free —
-but the 1x1 convs around them sit at the HBM roofline (51-61% MFU): at
-256<->1024 channels their arithmetic intensity (~200 FLOP/B) is below the
-v5e ridge (~240), so each conv boundary streams the wide 137 MB activation
-through HBM. XLA cannot fuse across conv boundaries; this kernel can.
+Motivation history (corrected): this kernel was originally motivated by a
+round-2 `block_until_ready` micro-benchmark that put the layer3/layer4 1x1
+convs at 51-61% MFU — a FENCING ARTIFACT (on this box's axon relay,
+`block_until_ready` is not an execution fence; BASELINE.md "Measurement
+methodology"). The corrected chain-marginal protocol measures XLA's convs
+at **93-103% nominal MFU** (layer3 1x1 pair 93%, dilated 3x3 99-103%,
+layer4 1x1 pair 95%): there is no per-conv efficiency on the table. The
+real fusion headroom is the **~0.2 ms/block elementwise/residual HBM
+traffic between convs** (unfused block 1.00 ms fwd vs 0.77 ms
+sum-of-convs), which bounds what any cross-conv fusion can recover — and
+is why the measured end-to-end win below was small and the kernel retired.
 
 One kernel computes the whole stride-1 bottleneck
 

@@ -120,6 +120,13 @@ class TrainConfig:
     # Training paths ignore this (the optimizer owns fp32 masters).
     quantize: str = ""
     calib_batches: int = 4
+    # activation-calibration statistic: 'amax' (exact max — outlier-
+    # sensitive by construction: one hot activation scales the whole
+    # tensor's grid) or 'p<percentile>' e.g. 'p99.9' / shorthand 'p999'
+    # (per-batch |x| percentile, max-reduced over batches; outliers
+    # saturate at the ±127 clip in layers.qconv2d instead of stretching
+    # the grid). Robustness study: BASELINE.md "int8 calibration".
+    calib_mode: str = "amax"
     profile: bool = False              # capture a jax.profiler trace of steps 2-5
     debug_nans: bool = False           # jax_debug_nans sanitizer mode
     # graceful preemption: on SIGTERM, finish the in-flight step, write a
@@ -249,6 +256,11 @@ def add_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                         "--calib_batches eval batches); heads stay fp")
     p.add_argument("--calib_batches", type=int, default=4,
                    help="batches used for int8 activation calibration")
+    p.add_argument("--calib_mode", default="amax",
+                   help="int8 activation calibration statistic: 'amax' or a "
+                        "percentile like 'p99.9' (shorthand 'p999'); "
+                        "percentiles clip outliers instead of stretching "
+                        "the quantization grid")
     p.add_argument("--preempt_save", type=str2bool, default=True,
                    help="on SIGTERM: checkpoint at the next step boundary "
                         "and exit cleanly (resume with --continue_training)")

@@ -61,14 +61,41 @@ def iter_conv_sites(params: Params) -> Iterator[tuple[str, dict]]:
                     yield f"{key}.{bi}.{name}", block[name]
 
 
+def parse_calib_mode(mode: str) -> float | None:
+    """'amax' → None; 'p<percentile>' → the percentile as a float.
+
+    Accepts explicit percentiles ('p99.9') and the common digit shorthand
+    ('p999' → 99.9, 'p9999' → 99.99): a value > 100 is read as the digits
+    of a percentile starting '99.…'.
+    """
+    if mode == "amax":
+        return None
+    if not mode.startswith("p"):
+        raise ValueError(
+            f"calib_mode must be 'amax' or 'p<percentile>', got {mode!r}"
+        )
+    q = float(mode[1:])
+    while q > 100.0:
+        q /= 10.0
+    if not 0.0 < q <= 100.0:
+        raise ValueError(f"calib_mode percentile out of (0, 100]: {mode!r}")
+    return q
+
+
 def calibrate(
     params: Params,
     frozen: Params,
     cfg,
     batches: Iterable[np.ndarray],
     mcfg=None,
+    mode: str | None = None,
 ) -> dict[str, float]:
-    """Per-site input-amax calibration: {site path: max|x| over batches}.
+    """Per-site input-range calibration: {site path: range stat over batches}.
+
+    The statistic is ``mode`` (default ``cfg.calib_mode``): exact amax, or a
+    per-batch |x| percentile max-reduced over batches (an upper bound on the
+    global percentile; values above it saturate at the ±127 clip in
+    layers.qconv2d rather than stretching the quantization grid).
 
     Runs EAGER (unjitted) forwards so the recorder hook can read concrete
     values — a one-time cost of seconds. ``batches`` yields image batches
@@ -83,6 +110,8 @@ def calibrate(
 
     if mcfg is None:
         mcfg = model_config(cfg, eval_mode=True)
+    q = parse_calib_mode(mode if mode is not None
+                         else getattr(cfg, "calib_mode", "amax"))
     by_id = {id(site): path for path, site in iter_conv_sites(params)}
     amax: dict[str, jax.Array] = {}
 
@@ -90,7 +119,8 @@ def calibrate(
         path = by_id.get(id(site))
         if path is None:  # a site not selected for quantization
             return
-        m = jnp.max(jnp.abs(x.astype(jnp.float32)))
+        a = jnp.abs(x.astype(jnp.float32))
+        m = jnp.max(a) if q is None else jnp.percentile(a, q)
         amax[path] = m if path not in amax else jnp.maximum(amax[path], m)
 
     if layers._calib_recorder is not None:

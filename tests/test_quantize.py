@@ -22,6 +22,7 @@ from maxsquareloss_tpu.models.layers import conv2d, conv_site, qconv2d
 from maxsquareloss_tpu.models.quantize import (
     calibrate,
     iter_conv_sites,
+    parse_calib_mode,
     quantize_params,
     _quantize_site,
 )
@@ -98,6 +99,37 @@ def test_calibrate_covers_every_site(rng):
     assert all(v > 0 for v in amax.values())
     # heads are not calibration targets
     assert not any(p.startswith(("layer5", "layer6")) for p in amax)
+
+
+def test_parse_calib_mode():
+    assert parse_calib_mode("amax") is None
+    assert parse_calib_mode("p99.9") == 99.9
+    assert parse_calib_mode("p999") == 99.9      # digit shorthand
+    assert parse_calib_mode("p9999") == 99.99
+    assert parse_calib_mode("p50") == 50.0
+    for bad in ("max", "p0", "p-5", "q99"):
+        with pytest.raises(ValueError):
+            parse_calib_mode(bad)
+
+
+def test_percentile_calibration_clips_outliers(rng):
+    # --calib_mode p<q> (VERDICT r4 next #2b): the percentile statistic must
+    # ignore a single hot activation that amax calibration would let stretch
+    # the whole tensor's quantization grid.
+    cfg, mcfg, params, frozen = small_model()
+    x = rng.standard_normal((1, 65, 65, 3)).astype(np.float32)
+    x_hot = x.copy()
+    x_hot[0, 0, 0, 0] = 1e4  # one outlier pixel
+    a_amax = calibrate(params, frozen, cfg, [x_hot], mcfg=mcfg, mode="amax")
+    a_pct = calibrate(params, frozen, cfg, [x_hot], mcfg=mcfg, mode="p99.9")
+    a_ref = calibrate(params, frozen, cfg, [x], mcfg=mcfg, mode="p99.9")
+    # amax at the input conv explodes with the outlier; p99.9 stays at the
+    # clean data's scale
+    assert a_amax["conv1"] > 100 * a_pct["conv1"]
+    assert a_pct["conv1"] < 3 * a_ref["conv1"]
+    # both produce a valid drop-in int8 tree
+    qp = quantize_params(params, a_pct)
+    assert qp["conv1"]["w"].dtype == jnp.int8
 
 
 def test_quantize_params_structure_and_missing_site(rng):
