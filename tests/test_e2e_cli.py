@@ -282,11 +282,14 @@ def test_cli_e2e_miou_regression(tmp_path):
         ])
         return run_dir
 
-    # regression floor: the color→class mapping must actually be learned
-    # (calibrated: 60 iters reach mIoU ~0.28 on this dataset)
+    # regression floor: the color→class mapping must actually be learned.
+    # Calibrated (VERDICT r4 next #5): 60 iters reach mIoU ~0.28 on this
+    # dataset; floor = 0.7x that measurement so a real regression (lr group
+    # swap, LUT break) trips it while run-to-run noise (the run is bitwise
+    # reproducible, see below — noise is cross-version XLA drift) does not.
     run_a = train_source("a", 60)
     miou_a = _eval_miou(str(tmp_path / "eval_a"), data, f"{run_a}/checkpoint_latest")
-    assert miou_a > 0.15, f"source training regressed: mIoU {miou_a:.4f}"
+    assert miou_a > 0.196, f"source training regressed: mIoU {miou_a:.4f}"
 
     # post-training int8 (--quantize int8, models/quantize.py): quantized
     # eval of the same checkpoint must hold the learned accuracy
