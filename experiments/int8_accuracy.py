@@ -64,6 +64,54 @@ def prepare(base: str, a) -> None:
     subprocess.run(cmd, check=True, cwd=REPO)
 
 
+def calibrate_batch_stats(params, frozen, cfg, batches, mcfg, modes):
+    """One eager pass: per-site, per-batch range stat for EVERY mode.
+
+    calibrate(mode, nb) reduces per-batch stats with max() across batches
+    (models/quantize.py), so recording each batch's stat once and taking
+    max over the first nb entries reproduces every (mode, calib_batches)
+    variant exactly while paying the eager relay cost once instead of
+    sum(nb) times per mode.
+    """
+    import jax.numpy as jnp
+
+    from maxsquareloss_tpu.models import layers
+    from maxsquareloss_tpu.models.deeplabv2 import apply_deeplabv2
+    from maxsquareloss_tpu.models.quantize import iter_conv_sites, parse_calib_mode
+    from maxsquareloss_tpu.train.steps import _prepare_inputs
+
+    qs = {m: parse_calib_mode(m) for m in modes}
+    by_id = {id(site): path for path, site in iter_conv_sites(params)}
+    stats: dict[str, dict[str, list[float]]] = {m: {} for m in modes}
+    cur: dict[str, dict[str, object]] = {}
+
+    def record(site, x):
+        path = by_id.get(id(site))
+        if path is None:
+            return
+        a = jnp.abs(x.astype(jnp.float32))
+        for m, q in qs.items():
+            v = jnp.max(a) if q is None else jnp.percentile(a, q)
+            cur[m][path] = (
+                v if path not in cur[m] else jnp.maximum(cur[m][path], v)
+            )
+
+    assert layers._calib_recorder is None
+    layers._calib_recorder = record
+    try:
+        for xs in batches:
+            for m in modes:
+                cur[m] = {}
+            x, _ = _prepare_inputs(jnp.asarray(xs), None, cfg)
+            apply_deeplabv2(params, frozen, x, mcfg)
+            for m in modes:
+                for path, v in cur[m].items():
+                    stats[m].setdefault(path, []).append(float(v))
+    finally:
+        layers._calib_recorder = None
+    return stats
+
+
 def build_eval(cfg, frozen, mcfg):
     import jax
     import jax.numpy as jnp
@@ -165,12 +213,22 @@ def main(argv=None):
     }
     max_calib = max(int(v) for v in a.calib_batches.split(","))
     arrays = calib_arrays(max_calib)
-    for mode in a.calib_modes.split(","):
+    modes = a.calib_modes.split(",")
+    t0 = time.time()
+    stats = calibrate_batch_stats(params, frozen, cfg, arrays, mcfg, modes)
+    print(f"calibration pass: {len(arrays)} batches, both modes "
+          f"[{time.time() - t0:.0f}s]", flush=True)
+    # cross-check the derivation against the product-path calibrate() on
+    # the smallest setting (one extra eager batch-forward)
+    ref = calibrate(params, frozen, cfg, arrays[:1], mcfg=mcfg, mode=modes[0])
+    derived = {p: v[0] for p, v in stats[modes[0]].items()}
+    assert all(abs(ref[p] - derived[p]) <= 1e-5 * max(1.0, abs(ref[p]))
+               for p in ref), "per-batch stat derivation != calibrate()"
+    for mode in modes:
         for nb in (int(v) for v in a.calib_batches.split(",")):
             tag = f"{mode}/calib{nb}"
             t0 = time.time()
-            amax = calibrate(params, frozen, cfg, arrays[:nb], mcfg=mcfg,
-                             mode=mode)
+            amax = {p: max(v[:nb]) for p, v in stats[mode].items()}
             qparams = quantize_params(params, amax)
             ev_q = Eval(19)
             agree = tot = 0
