@@ -129,12 +129,22 @@ def run_seed(work: str, seed: int, a) -> dict[str, float]:
         )
 
     # control: the exact UDA run with the target term zero-weighted
-    res["control_l0"] = run_uda("control_l0", "maxsquare", False, 0.0)
+    if not a.skip_control:
+        res["control_l0"] = run_uda("control_l0", "maxsquare", False, 0.0)
     for mode in a.modes.split(","):
+        # per-mode lambda override: "IW_maxsquare_multi@16" — the multi mode
+        # adds a second lambda-scaled term (lambda*lambda_seg * pseudo-label
+        # CE on the aux head), so its effective pressure at a given lambda is
+        # higher than the single-head modes'
+        lam = a.lambda_target
+        if "@" in mode:
+            mode, lam_s = mode.split("@", 1)
+            lam = float(lam_s)
         target_mode, multi = mode, False
         if mode.endswith("_multi"):
             target_mode, multi = mode[: -len("_multi")], True
-        res[mode] = run_uda(mode, target_mode, multi, a.lambda_target)
+        key = mode if lam == a.lambda_target else f"{mode}@{lam:g}"
+        res[key] = run_uda(key.replace("@", "_l"), target_mode, multi, lam)
     res["_wall_s"] = round(time.time() - t0, 1)
     return res
 
@@ -159,6 +169,9 @@ def main(argv=None):
                         "the virtual 8-device CPU mesh the tests use")
     p.add_argument("--out", default="")
     p.add_argument("--keep_work", action="store_true")
+    p.add_argument("--skip_control", action="store_true",
+                   help="skip the lambda_target=0 control arm (ladder runs "
+                        "that reuse an already-measured control)")
     a = p.parse_args(argv)
 
     all_res: dict[str, dict] = {}
