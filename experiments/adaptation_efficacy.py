@@ -112,13 +112,15 @@ def run_seed(work: str, seed: int, a) -> dict[str, float]:
     res["in_domain"] = eval_miou(work, "indom", data_id, src_ckpt, seed, a.platform)
     res["source_only"] = eval_miou(work, "src", data, src_ckpt, seed, a.platform)
 
-    def run_uda(tag: str, target_mode: str, multi: bool, lam: float) -> float:
+    def run_uda(tag: str, target_mode: str, multi: bool, lam: float,
+                thr: float | None = None) -> float:
         uda_dir = os.path.join(work, f"uda_{tag}")
+        thr_flags = [] if thr is None else ["--threshold", str(thr)]
         run_cli("solve_gta5.py", [
             "--source_dataset", "gta5", "--data_root_path", data,
             "--checkpoint_dir", uda_dir, "--target_mode", target_mode,
             "--multi", str(multi).lower(), "--lr", str(a.lr_uda),
-            "--lambda_target", str(lam),
+            "--lambda_target", str(lam), *thr_flags,
             "--pretrained_ckpt_file", src_ckpt,
             "--iter_max", str(a.iters_uda), "--iter_stop", str(a.iters_uda),
             "--epoch_num", "1000000", "--seed", str(seed),
@@ -131,20 +133,31 @@ def run_seed(work: str, seed: int, a) -> dict[str, float]:
     # control: the exact UDA run with the target term zero-weighted
     if not a.skip_control:
         res["control_l0"] = run_uda("control_l0", "maxsquare", False, 0.0)
-    for mode in a.modes.split(","):
-        # per-mode lambda override: "IW_maxsquare_multi@16" — the multi mode
-        # adds a second lambda-scaled term (lambda*lambda_seg * pseudo-label
-        # CE on the aux head), so its effective pressure at a given lambda is
-        # higher than the single-head modes'
-        lam = a.lambda_target
-        if "@" in mode:
-            mode, lam_s = mode.split("@", 1)
-            lam = float(lam_s)
+    for spec in a.modes.split(","):
+        # per-arm overrides: "mode[@LAM][@tTHR]" — LAM overrides
+        # --lambda_target, tTHR overrides the guidance --threshold
+        # (e.g. "IW_maxsquare_multi@64@t0.8"). The multi mode adds a second
+        # lambda-scaled term (lambda*lambda_seg * pseudo-label CE on the aux
+        # head), so its effective pressure at a given lambda is higher than
+        # the single-head modes'.
+        parts = spec.split("@")
+        mode, lam, thr = parts[0], a.lambda_target, None
+        for tok in parts[1:]:
+            if tok.startswith("t"):
+                thr = float(tok[1:])
+            else:
+                lam = float(tok)
         target_mode, multi = mode, False
         if mode.endswith("_multi"):
             target_mode, multi = mode[: -len("_multi")], True
-        key = mode if lam == a.lambda_target else f"{mode}@{lam:g}"
-        res[key] = run_uda(key.replace("@", "_l"), target_mode, multi, lam)
+        key = mode
+        if lam != a.lambda_target:
+            key += f"@{lam:g}"
+        if thr is not None:
+            key += f"@t{thr:g}"
+        res[key] = run_uda(
+            key.replace("@", "_").replace(".", "p"), target_mode, multi, lam, thr
+        )
     res["_wall_s"] = round(time.time() - t0, 1)
     return res
 

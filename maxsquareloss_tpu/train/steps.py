@@ -201,6 +201,28 @@ def target_loss_fn(
     else:
         raise ValueError(f"unknown target_mode {mode!r}")
     metrics["loss_target_raw"] = loss
+    if label is not None:
+        metrics["guidance_valid_frac"] = jnp.mean((label != -1).astype(jnp.float32))
+    if mode in ("IW_maxsquare", "IW_entropy"):
+        # Degenerate-weight canary (logged every step, CSE'd with the loss's
+        # own computation): the reference weight formula
+        # 1/max(hist_c^a * T^(1-a), 1) assigns weight 1.0 — ~T times the
+        # normal 1/T scale — to any class with hist_c == 0. With guidance
+        # labels (multi) the histogram is thresholded, so argmax classes
+        # whose pixels never clear the confidence threshold hit this branch
+        # and the loss inflates by ~T. iw_pixel_w_max == 1.0 is that branch
+        # firing; see BASELINE.md "Adaptation efficacy" for the measured
+        # collapse it causes at small scale.
+        from maxsquareloss_tpu.ops.histogram import class_histogram, iw_class_weights
+
+        argpred = jnp.argmax(prob_main, axis=-1).astype(jnp.int32)
+        count_label = argpred if label is None else label.astype(jnp.int32)
+        w = iw_class_weights(class_histogram(count_label, c), cfg.ratio)
+        pixel_w = jnp.einsum(
+            "nhwc,nc->nhw", jax.nn.one_hot(argpred, c, dtype=w.dtype), w
+        )
+        metrics["iw_pixel_w_max"] = jnp.max(pixel_w)
+        metrics["iw_pixel_w_mean"] = jnp.mean(pixel_w)
     return loss, label, metrics
 
 
