@@ -62,6 +62,15 @@ class TrainConfig:
     threshold: float = 0.95            # guidance confidence threshold
     guidance_mask: str = "ensemble"    # 'ensemble' | 'per_head_or' — the
                                        # reference's exact mask is [UNVERIFIED]
+    # Histogram source for the IW weight formula under --multi. 'guidance'
+    # = reference parity: count the THRESHOLDED pseudo-label — exposes the
+    # degenerate w_c=1.0 branch (an argmax class none of whose pixels clears
+    # --threshold gets total× the healthy weight scale; measured blow-up in
+    # BASELINE.md "Multi-arm collapse"). 'argmax' counts the unthresholded
+    # prediction argmax instead (exactly the single-head behavior), which
+    # makes the degenerate branch unreachable while keeping the thresholded
+    # guidance for the aux-head CE. No effect without --multi.
+    iw_hist: str = "guidance"          # 'guidance' | 'argmax'
 
     # data
     batch_size: int = 4
@@ -298,6 +307,14 @@ def add_uda_train_args(p: argparse.ArgumentParser) -> argparse.ArgumentParser:
                    help="multi-level guidance confidence mask: ensemble-max "
                         "> t, or either head's own max > t (the reference's "
                         "exact condition is unverified — see docs/PARITY.md)")
+    p.add_argument("--iw_hist", default="guidance",
+                   choices=("guidance", "argmax"),
+                   help="IW histogram source under --multi: 'guidance' "
+                        "(reference parity — thresholded pseudo-label; has a "
+                        "degenerate weight-1.0 branch, BASELINE.md 'Multi-arm "
+                        "collapse') or 'argmax' (unthresholded prediction "
+                        "argmax, the single-head behavior — degenerate branch "
+                        "unreachable)")
     p.add_argument("--target_base_size", default="1024,512")
     p.add_argument("--target_crop_size", default="1024,512")
     return p

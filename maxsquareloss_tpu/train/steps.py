@@ -177,14 +177,24 @@ def target_loss_fn(
         )
     metrics: dict[str, jax.Array] = {}
     mode = cfg.target_mode
+    # --iw_hist argmax: count the IW histogram on the unthresholded argmax
+    # (single-head behavior) instead of the thresholded guidance label —
+    # makes the degenerate w_c=1.0 branch unreachable (config.py, BASELINE.md
+    # "Multi-arm collapse"). The guidance label itself still feeds the
+    # aux-head CE below.
+    hist_label = label if cfg.iw_hist == "guidance" else None
     if mode == "maxsquare":
         loss = max_square_loss(prob_main)
     elif mode == "IW_maxsquare":
-        loss = iw_max_square_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
+        loss = iw_max_square_loss(
+            prob_main, hist_label, num_classes=c, ratio=cfg.ratio
+        )
     elif mode == "entropy":
         loss = entropy_loss(prob_main)
     elif mode == "IW_entropy":
-        loss = iw_entropy_loss(prob_main, label, num_classes=c, ratio=cfg.ratio)
+        loss = iw_entropy_loss(
+            prob_main, hist_label, num_classes=c, ratio=cfg.ratio
+        )
     elif mode == "hard":
         if label is None:
             maxp = jnp.max(prob_main, axis=-1)
@@ -216,7 +226,9 @@ def target_loss_fn(
         from maxsquareloss_tpu.ops.histogram import class_histogram, iw_class_weights
 
         argpred = jnp.argmax(prob_main, axis=-1).astype(jnp.int32)
-        count_label = argpred if label is None else label.astype(jnp.int32)
+        count_label = (
+            argpred if hist_label is None else hist_label.astype(jnp.int32)
+        )
         w = iw_class_weights(class_histogram(count_label, c), cfg.ratio)
         pixel_w = jnp.einsum(
             "nhwc,nc->nhw", jax.nn.one_hot(argpred, c, dtype=w.dtype), w

@@ -90,6 +90,12 @@ def test_guidance_mask_flag(tmp_path):
     assert TrainConfig().guidance_mask == "ensemble"
 
 
+def test_iw_hist_flag(tmp_path):
+    args = _parse(["--checkpoint_dir", str(tmp_path), "--iw_hist", "argmax"])
+    assert config_from_args(args).iw_hist == "argmax"
+    assert TrainConfig().iw_hist == "guidance"  # reference parity default
+
+
 def test_train_id_checkpoint_dir_shim(tmp_path):
     """init_args convenience: run dir derived from a train-id/tag."""
     import os

@@ -291,3 +291,48 @@ def test_concat_batches_unequal_crops_equivalent(rng):
         ), k
     for a, b in zip(jax.tree.leaves(sa.params), jax.tree.leaves(sb.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+
+def test_iw_hist_argmax_disarms_degenerate_branch():
+    """--iw_hist argmax makes the w_c=1.0 branch unreachable under --multi.
+
+    Crafted probs: 6 pixels confident (0.99) in class 0, 2 pixels argmax
+    class 3 at only 0.5 — below the 0.95 threshold, so the guidance
+    histogram has hist[3] == 0 while argmax still assigns those pixels to
+    class 3. Reference-parity mode ('guidance') must hit the degenerate
+    weight-1.0 branch (BASELINE.md "Multi-arm collapse"); 'argmax' must not,
+    and must reproduce the single-head histogram behavior exactly.
+    """
+    from maxsquareloss_tpu.ops.losses import iw_max_square_loss
+    from maxsquareloss_tpu.train.steps import target_loss_fn
+
+    c = 19
+    prob = np.full((1, 2, 4, c), 0.01 / (c - 1), np.float32)
+    prob = prob.reshape(1, 8, c)
+    prob[0, :6, 0] = 0.99
+    prob[0, 6:, :] = (1.0 - 0.5) / (c - 1)
+    prob[0, 6:, 3] = 0.5
+    prob = jnp.asarray(prob.reshape(1, 2, 4, c))
+    prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
+
+    loss_by_mode = {}
+    for hist_mode in ("guidance", "argmax"):
+        cfg = _small_cfg(
+            target_mode="IW_maxsquare", threshold=0.95, iw_hist=hist_mode
+        )
+        loss, label, metrics = target_loss_fn(prob, prob, cfg)
+        assert label is not None  # multi-level guidance path taken
+        w_max = float(np.asarray(metrics["iw_pixel_w_max"]))
+        if hist_mode == "guidance":
+            assert w_max == pytest.approx(1.0)  # degenerate branch fires
+        else:
+            assert w_max < 0.5  # healthy ~1/total scale
+            np.testing.assert_allclose(
+                np.asarray(loss),
+                np.asarray(iw_max_square_loss(prob, None, num_classes=c)),
+                rtol=1e-6,
+            )
+        loss_by_mode[hist_mode] = float(np.asarray(loss))
+    # the degenerate branch inflates |loss| (by ~total x per affected pixel;
+    # modest here because total is only 6 in this tiny fixture)
+    assert abs(loss_by_mode["guidance"]) > 1.5 * abs(loss_by_mode["argmax"])
