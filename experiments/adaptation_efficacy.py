@@ -113,9 +113,11 @@ def run_seed(work: str, seed: int, a) -> dict[str, float]:
     res["source_only"] = eval_miou(work, "src", data, src_ckpt, seed, a.platform)
 
     def run_uda(tag: str, target_mode: str, multi: bool, lam: float,
-                thr: float | None = None) -> float:
+                thr: float | None = None, iw_hist: str | None = None) -> float:
         uda_dir = os.path.join(work, f"uda_{tag}")
         thr_flags = [] if thr is None else ["--threshold", str(thr)]
+        if iw_hist is not None:
+            thr_flags += ["--iw_hist", iw_hist]
         run_cli("solve_gta5.py", [
             "--source_dataset", "gta5", "--data_root_path", data,
             "--checkpoint_dir", uda_dir, "--target_mode", target_mode,
@@ -134,16 +136,20 @@ def run_seed(work: str, seed: int, a) -> dict[str, float]:
     if not a.skip_control:
         res["control_l0"] = run_uda("control_l0", "maxsquare", False, 0.0)
     for spec in a.modes.split(","):
-        # per-arm overrides: "mode[@LAM][@tTHR]" — LAM overrides
-        # --lambda_target, tTHR overrides the guidance --threshold
+        # per-arm overrides: "mode[@LAM][@tTHR][@hargmax]" — LAM overrides
+        # --lambda_target, tTHR overrides the guidance --threshold, hargmax
+        # sets --iw_hist argmax (count the IW histogram on the unthresholded
+        # argmax — the multi-collapse mitigation, BASELINE.md)
         # (e.g. "IW_maxsquare_multi@64@t0.8"). The multi mode adds a second
         # lambda-scaled term (lambda*lambda_seg * pseudo-label CE on the aux
         # head), so its effective pressure at a given lambda is higher than
         # the single-head modes'.
         parts = spec.split("@")
-        mode, lam, thr = parts[0], a.lambda_target, None
+        mode, lam, thr, iw_hist = parts[0], a.lambda_target, None, None
         for tok in parts[1:]:
-            if tok.startswith("t"):
+            if tok == "hargmax":
+                iw_hist = "argmax"
+            elif tok.startswith("t"):
                 thr = float(tok[1:])
             else:
                 lam = float(tok)
@@ -155,8 +161,11 @@ def run_seed(work: str, seed: int, a) -> dict[str, float]:
             key += f"@{lam:g}"
         if thr is not None:
             key += f"@t{thr:g}"
+        if iw_hist is not None:
+            key += "@hargmax"
         res[key] = run_uda(
-            key.replace("@", "_").replace(".", "p"), target_mode, multi, lam, thr
+            key.replace("@", "_").replace(".", "p"), target_mode, multi,
+            lam, thr, iw_hist
         )
     res["_wall_s"] = round(time.time() - t0, 1)
     return res
